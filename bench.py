@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: SIFT1M-class QPS at recall@10>=0.95 (IVFFlat).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Dataset: the environment has zero egress, so we generate a SIFT-like
+corpus (1M x 128 float32, clustered) deterministically and compute exact
+ground truth on device with the brute-force scan. Recall semantics follow
+the reference's recall_at_k (NeuronDB/src/ml/ml_recall_metrics.c:64).
+
+vs_baseline: BASELINE.md records no reference-measured numbers
+(published: {}); the reference CPU extension was not benchmarked in this
+environment. We normalize against BASELINE_QPS = 2000, a generous
+estimate for a pgvector-class CPU extension on SIFT1M at recall 0.95
+(single PG backend; the reference's HNSW insert/search is serial scalar C
+— see SURVEY.md §6). The 10x target of BASELINE.json therefore maps to
+vs_baseline >= 10.
+
+Scale knobs via env: NDB_BENCH_N (default 1_000_000), NDB_BENCH_Q (1000).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_QPS = 2000.0
+
+
+def make_corpus(n, d, seed=0):
+    """Clustered float32 corpus, SIFT-like scale."""
+    rng = np.random.default_rng(seed)
+    ncl = 256
+    centers = rng.standard_normal((ncl, d)).astype(np.float32) * 2.0
+    out = np.empty((n, d), np.float32)
+    step = 65536
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        ids = rng.integers(0, ncl, e - s)
+        out[s:e] = centers[ids] + rng.standard_normal((e - s, d)).astype(np.float32)
+    return out
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from neurondb_tpu.index import IVFFlatIndex
+    from neurondb_tpu.ops import topk as TK
+    from neurondb_tpu.ml.metrics import recall_at_k
+
+    n = int(os.environ.get("NDB_BENCH_N", 1_000_000))
+    d = 128
+    nq = int(os.environ.get("NDB_BENCH_Q", 1000))
+    k = 10
+    nlists = int(os.environ.get("NDB_BENCH_NLISTS", 1024))
+    x = make_corpus(n, d)
+    rng = np.random.default_rng(1)
+    q = x[rng.choice(n, nq, replace=False)] + \
+        0.05 * rng.standard_normal((nq, d)).astype(np.float32)
+
+    # exact ground truth on device
+    xj = jnp.asarray(x)
+    gt_ids = np.empty((nq, k), np.int64)
+    t0 = time.time()
+    for s in range(0, nq, 256):
+        e = min(s + 256, nq)
+        _, ids = TK.chunked_knn(jnp.asarray(q[s:e]), xj, k, metric="l2",
+                                chunk=131072)
+        gt_ids[s:e] = np.asarray(ids)
+    gt_s = time.time() - t0
+
+    t0 = time.time()
+    index = IVFFlatIndex(x, nlists=nlists, metric="l2", seed=0)
+    jax.block_until_ready(index._vecs)
+    build_s = time.time() - t0
+
+    # nprobe sweep to hit recall >= 0.95
+    chosen = None
+    probe_stats = []
+    for nprobe in (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+        if nprobe > nlists:
+            break
+        _, ids = index.search(q[:256], k=k, nprobe=nprobe)
+        r = recall_at_k(ids, gt_ids[:256])
+        probe_stats.append((nprobe, round(r, 4)))
+        if r >= 0.95:
+            chosen = nprobe
+            break
+    if chosen is None:
+        chosen = nlists
+
+    # timed QPS at the chosen operating point
+    batch = 1024
+    qbig = np.concatenate([q] * max(1, (8 * batch) // nq + 1))[: 8 * batch]
+    # warmup (compile)
+    index.search(qbig[:batch], k=k, nprobe=chosen)
+    t0 = time.time()
+    done = 0
+    for s in range(0, len(qbig), batch):
+        dists, ids = index.search(qbig[s:s + batch], k=k, nprobe=chosen)
+        done += len(qbig[s:s + batch])
+    wall = time.time() - t0
+    qps = done / wall
+
+    _, ids = index.search(q, k=k, nprobe=chosen)
+    final_recall = recall_at_k(ids, gt_ids)
+
+    print(json.dumps({
+        "metric": "ivfflat_sift1m_qps_at_recall95",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "recall_at_10": round(final_recall, 4),
+        "nprobe": chosen,
+        "nlists": nlists,
+        "n": n,
+        "build_seconds": round(build_s, 1),
+        "ground_truth_seconds": round(gt_s, 1),
+        "probe_sweep": probe_stats,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

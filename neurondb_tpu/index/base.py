@@ -1,0 +1,62 @@
+"""Common index API and checkpoint manifest handling.
+
+Checkpoint/resume parity: the reference persists index state in PG pages
+(durable via WAL, NeuronDB/src/index/hnsw_am.c:108-122 meta page) and ML
+models as bytea rows. Here every index serializes its device arrays to an
+``.npz`` plus a JSON manifest (SURVEY.md §5 checkpoint equivalent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BaseIndex:
+    """Interface: build/add/search/save/load. Subclasses set ``kind``."""
+
+    kind: str = "base"
+    metric: str = "l2"
+    dim: int = 0
+
+    def search(self, queries, k: int = 10, **kw) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    # ---- persistence ----
+    def _state(self) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+        raise NotImplementedError
+
+    def _load_state(self, arrays: Dict[str, np.ndarray], meta: Dict[str, Any]) -> None:
+        raise NotImplementedError
+
+    def save(self, path: str) -> None:
+        arrays, meta = self._state()
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(os.path.join(path, "arrays.npz"),
+                            **{k: np.asarray(v) for k, v in arrays.items()})
+        meta = dict(meta, kind=self.kind, metric=self.metric, dim=self.dim,
+                    format_version=1)
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    @classmethod
+    def load(cls, path: str) -> "BaseIndex":
+        with open(os.path.join(path, "manifest.json")) as f:
+            meta = json.load(f)
+        data = np.load(os.path.join(path, "arrays.npz"))
+        arrays = {k: data[k] for k in data.files}
+        obj = cls.__new__(cls)
+        obj._load_state(arrays, meta)
+        return obj
+
+
+def as_batch(queries) -> Tuple[jax.Array, bool]:
+    q = jnp.asarray(queries, jnp.float32)
+    if q.ndim == 1:
+        return q[None, :], True
+    return q, False

@@ -1,0 +1,750 @@
+"""HNSW — hierarchical graph ANN, rebuilt as batched beam search on TPU.
+
+Reference behavior being rebuilt (NeuronDB/src/index/hnsw_am.c):
+- node = level + vector + per-level neighbor lists, one per 8KB page
+  (:124-156); meta page holds entryPoint/entryLevel/m/efC/efS/ml (:108-120);
+- defaults m=16, ef_construction=200, ef_search=64, ml=0.36, max level 16
+  (:81-95); random level = floor(-ln(U) * ml) (:1143);
+- insert: greedy entry descent (:2156-2286), per-level search with
+  ef=ef_construction, closest-M neighbor selection (no diversity heuristic,
+  :2364-2424), bidirectional linking with prune-to-2M (:2451-2533);
+- search: greedy descent on levels L..1 (:1638-1750), ef-bounded level-0
+  expansion (:1833-1975), top-k (:1984-2013);
+- distance strategies 1=L2, 2=cosine, 3=-IP (:1301-1345).
+
+TPU redesign (SURVEY.md §7 phase 2): the graph lives in HBM as int32
+adjacency arrays — level 0 is ``nbr0 [Ncap, 2M]``, upper levels are compact
+per-level arrays with local row ids plus row->vector maps. A query batch
+runs the whole search in lockstep:
+- upper levels: greedy descent, one gather + fused distance per step,
+  convergence-masked ``lax.while_loop``;
+- level 0: batched best-first expansion — each step expands the best
+  unexpanded beam entry of every query, gathers its <=2M neighbors, checks
+  a [B, N] visited bitmap, scores candidates with one VPU multiply-reduce,
+  and merges them into the beam with an XLA top-k. All shapes static;
+  finished queries are masked, matching the "convergence-divergent walks"
+  plan in SURVEY.md §7.
+
+Construction is wave-batched instead of the reference's one-at-a-time
+insert under an exclusive meta-page lock (hnsw_am.c:511-519): a wave of W
+nodes searches the frozen graph in one batch, then links are applied with
+grouped scatter updates (reverse edges re-pruned to closest-capacity,
+matching the reference's closest-only prune). Nodes within one wave do not
+see each other; this is the standard batch-construction approximation and
+is validated by the recall tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurondb_tpu.config import get_config
+from neurondb_tpu.index.base import BaseIndex, as_batch
+from neurondb_tpu.ops import distance as D
+from neurondb_tpu.ops import topk as TK
+
+INF = jnp.float32(jnp.finfo(jnp.float32).max)
+
+
+# ===========================================================================
+# jitted search primitives
+# ===========================================================================
+
+def _pair_dist(q: jax.Array, q_sq: jax.Array, g: jax.Array,
+               g_sq: jax.Array, metric: str) -> jax.Array:
+    """q [B, D] vs per-query gathered rows g [B, C, D] -> [B, C] scores."""
+    dots = jnp.einsum("bd,bcd->bc", q, g, preferred_element_type=jnp.float32)
+    if metric == "ip":
+        return -dots
+    return jnp.maximum(q_sq[:, None] + g_sq - 2.0 * dots, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "max_steps"))
+def _greedy_descent(q, cur, vecs, sqnorms, nbr, rowmap, *,
+                    metric: str, max_steps: int):
+    """One-level greedy walk: move to the best neighbor while it improves.
+    cur: [B] local rows. rowmap: [Nc] local row -> vector row.
+    Returns improved [B] local rows."""
+    B = q.shape[0]
+    q_sq = jnp.sum(q * q, axis=1)
+
+    def dist_of(rows):                       # rows: [B] local
+        vr = rowmap[rows]
+        g = vecs[vr]
+        gs = sqnorms[vr]
+        dots = jnp.einsum("bd,bd->b", q, g, preferred_element_type=jnp.float32)
+        if metric == "ip":
+            return -dots
+        return jnp.maximum(q_sq + gs - 2.0 * dots, 0.0)
+
+    def cond(state):
+        _, _, moved, step = state
+        return jnp.any(moved) & (step < max_steps)
+
+    def body(state):
+        cur, cur_d, moved, step = state
+        nb = nbr[cur]                                        # [B, deg] local
+        valid = (nb >= 0) & moved[:, None]
+        nb_safe = jnp.maximum(nb, 0)
+        vr = rowmap[nb_safe]
+        g = vecs[vr]
+        gs = sqnorms[vr]
+        d = _pair_dist(q, q_sq, g, gs, metric)
+        d = jnp.where(valid, d, INF)
+        j = jnp.argmin(d, axis=1)
+        best_d = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
+        better = best_d < cur_d
+        new_cur = jnp.where(better, jnp.take_along_axis(nb_safe, j[:, None],
+                                                        axis=1)[:, 0], cur)
+        new_d = jnp.where(better, best_d, cur_d)
+        return new_cur, new_d, better, step + 1
+
+    cur_d = dist_of(cur)
+    moved = jnp.ones((B,), jnp.bool_)
+    cur, _, _, _ = jax.lax.while_loop(cond, body, (cur, cur_d, moved,
+                                                   jnp.int32(0)))
+    return cur
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "ef", "max_steps", "identity_map"))
+def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
+                 metric: str, ef: int, max_steps: int, identity_map: bool):
+    """ef-bounded best-first expansion at one level, whole batch in lockstep.
+
+    q [B, D]; entry [B] local rows; nbr [Nc, deg] local adjacency (-1 pad);
+    rowmap [Nc] local->vector row (ignored when identity_map);
+    n_nodes: scalar count of live local rows (visited sizing uses Nc).
+    Returns (dists [B, ef], rows [B, ef]) ascending, -1/-inf padded.
+    """
+    B = q.shape[0]
+    Nc, deg = nbr.shape
+    q_sq = jnp.sum(q * q, axis=1)
+    barange = jnp.arange(B)
+
+    def vrow(rows):
+        return rows if identity_map else rowmap[rows]
+
+    # beam state
+    e_vr = vrow(jnp.maximum(entry, 0))
+    e_g = vecs[e_vr]
+    e_dots = jnp.einsum("bd,bd->b", q, e_g, preferred_element_type=jnp.float32)
+    if metric == "ip":
+        e_d = -e_dots
+    else:
+        e_d = jnp.maximum(q_sq + sqnorms[e_vr] - 2.0 * e_dots, 0.0)
+    entry_ok = entry >= 0
+
+    beam_d = jnp.full((B, ef), INF).at[:, 0].set(jnp.where(entry_ok, e_d, INF))
+    beam_i = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(
+        jnp.where(entry_ok, entry, -1))
+    expanded = jnp.ones((B, ef), jnp.bool_).at[:, 0].set(~entry_ok)
+    visited = jnp.zeros((B, Nc), jnp.uint8).at[
+        barange, jnp.maximum(entry, 0)].set(1)
+
+    def cond(state):
+        _, _, expanded, _, step = state
+        return jnp.any(~expanded) & (step < max_steps)
+
+    def body(state):
+        beam_d, beam_i, expanded, visited, step = state
+        # pick best unexpanded candidate per query
+        md = jnp.where(expanded, INF, beam_d)
+        e = jnp.argmin(md, axis=1)                            # [B]
+        active = jnp.min(md, axis=1) < INF
+        chosen = jnp.where(active, beam_i[barange, e], 0)
+        chosen = jnp.maximum(chosen, 0)
+        expanded = expanded.at[barange, e].set(True)
+
+        nb = nbr[chosen]                                      # [B, deg]
+        ok = (nb >= 0) & active[:, None]
+        nb_safe = jnp.maximum(nb, 0)
+        seen = visited[barange[:, None], nb_safe]
+        fresh = ok & (seen == 0)
+        visited = visited.at[barange[:, None], nb_safe].max(
+            fresh.astype(jnp.uint8))
+
+        vr = vrow(nb_safe)
+        g = vecs[vr]
+        gs = sqnorms[vr]
+        d = _pair_dist(q, q_sq, g, gs, metric)
+        d = jnp.where(fresh, d, INF)
+
+        # merge candidates into beam
+        cat_d = jnp.concatenate([beam_d, d], axis=1)
+        cat_i = jnp.concatenate([beam_i, nb_safe], axis=1)
+        cat_e = jnp.concatenate(
+            [expanded, jnp.where(fresh, False, True)], axis=1)
+        negv, pos = jax.lax.top_k(-cat_d, ef)
+        beam_d = -negv
+        beam_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        expanded = jnp.take_along_axis(cat_e, pos, axis=1)
+        beam_i = jnp.where(beam_d < INF, beam_i, -1)
+        return beam_d, beam_i, expanded, visited, step + 1
+
+    beam_d, beam_i, _, _, _ = jax.lax.while_loop(
+        cond, body, (beam_d, beam_i, expanded, visited, jnp.int32(0)))
+    # already ascending from top_k of negated distances
+    return beam_d, beam_i
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "cap"))
+def _prune_closest(vvecs, cand, vecs, sqnorms, *, metric: str, cap: int):
+    """Closest-``cap`` of candidates (the reference's prune policy,
+    hnsw_am.c:2451-2533). vvecs [V, D] owners; cand [V, C] vector rows
+    (-1 pad). Returns lists [V, cap] int32."""
+    V, C = cand.shape
+    ok = cand >= 0
+    cs = jnp.maximum(cand, 0)
+    g = vecs[cs]                                            # [V, C, D]
+    gs = sqnorms[cs]
+    v_sq = jnp.sum(vvecs * vvecs, axis=1)
+    d = _pair_dist(vvecs, v_sq, g, gs, metric)
+    d = jnp.where(ok, d, INF)
+    k = min(cap, C)
+    negv, pos = jax.lax.top_k(-d, k)
+    lists = jnp.take_along_axis(cand, pos, axis=1)
+    lists = jnp.where(-negv < INF, lists, -1)
+    if k < cap:
+        lists = jnp.pad(lists, ((0, 0), (0, cap - k)), constant_values=-1)
+    return lists
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "cap"))
+def _select_neighbors_heuristic(vvecs, cand, vecs, sqnorms, *,
+                                metric: str, cap: int):
+    """Diversity-pruned neighbor selection (Malkov & Yashunin Alg. 4),
+    batched: accept candidate c (in ascending distance-to-owner order) iff
+    d(c, owner) < d(c, a) for every already-accepted a; fill leftover slots
+    with the closest rejected candidates (hnswlib keepPrunedConnections).
+
+    The reference uses closest-only selection (hnsw_am.c:2398-2424), which
+    collapses on clustered data; SURVEY.md §7 directs matching *standard*
+    HNSW quality, so the heuristic is the default and closest-only is kept
+    as an option. Returns lists [V, cap] int32 (-1 pad).
+    """
+    V, C = cand.shape
+    ok = cand >= 0
+    cs = jnp.maximum(cand, 0)
+    g = vecs[cs]                                            # [V, C, D]
+    gs = sqnorms[cs]
+    v_sq = jnp.sum(vvecs * vvecs, axis=1)
+    d_vc = jnp.where(ok, _pair_dist(vvecs, v_sq, g, gs, metric), INF)
+    order = jnp.argsort(d_vc, axis=1)                       # ascending, inv last
+    cand_s = jnp.take_along_axis(cand, order, axis=1)
+    d_s = jnp.take_along_axis(d_vc, order, axis=1)
+    ok_s = cand_s >= 0
+    g_s = jnp.take_along_axis(g, order[:, :, None], axis=1)
+    gs_s = jnp.take_along_axis(gs, order, axis=1)
+    # pairwise candidate-candidate scores
+    dots = jnp.einsum("vcd,ved->vce", g_s, g_s,
+                      preferred_element_type=jnp.float32)
+    if metric == "ip":
+        d_cc = -dots
+    else:
+        d_cc = jnp.maximum(gs_s[:, :, None] + gs_s[:, None, :] - 2.0 * dots,
+                           0.0)
+
+    def body(i, acc):
+        di = d_cc[:, i, :]                                  # [V, C]
+        mmin = jnp.min(jnp.where(acc, di, INF), axis=1)
+        cnt = jnp.sum(acc, axis=1)
+        take = ok_s[:, i] & (cnt < cap) & ((d_s[:, i] < mmin) | (cnt == 0))
+        return acc.at[:, i].set(take)
+
+    acc = jax.lax.fori_loop(0, C, body, jnp.zeros((V, C), jnp.bool_))
+    # order: accepted (by distance), then rejected (by distance), invalid last
+    key = jnp.where(ok_s, (~acc).astype(jnp.int32) * C
+                    + jax.lax.broadcasted_iota(jnp.int32, (V, C), 1),
+                    2 * C + jax.lax.broadcasted_iota(jnp.int32, (V, C), 1))
+    ord2 = jnp.argsort(key, axis=1)[:, :cap]
+    lists = jnp.take_along_axis(cand_s, ord2, axis=1)
+    if cap > C:
+        lists = jnp.pad(lists, ((0, 0), (0, cap - C)), constant_values=-1)
+    return lists
+
+
+# ===========================================================================
+# the index
+# ===========================================================================
+
+class HNSWIndex(BaseIndex):
+    kind = "hnsw"
+
+    def __init__(self, vectors=None, *, dim: Optional[int] = None,
+                 m: Optional[int] = None, ef_construction: Optional[int] = None,
+                 ef_search: Optional[int] = None, ml: Optional[float] = None,
+                 metric: str = "l2", ids=None, seed: int = 0,
+                 wave: Optional[int] = None, neighbor_heuristic: bool = True):
+        cfg = get_config()
+        self._heuristic = neighbor_heuristic
+        self.metric = D.canonical_metric(metric)
+        self.m = int(m or cfg.hnsw_m)
+        self.ef_construction = int(ef_construction or cfg.hnsw_ef_construction)
+        self.ef_search = int(ef_search or cfg.hnsw_ef_search)
+        self.ml = float(ml or cfg.hnsw_ml)
+        self.max_level = cfg.hnsw_max_level
+        self._wave = int(wave or cfg.hnsw_build_wave)
+        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._spherical = self.metric == "cosine"
+
+        if vectors is None and dim is None:
+            raise ValueError("need vectors or dim")
+        x = None
+        if vectors is not None:
+            x = np.asarray(vectors, np.float32)
+            dim = x.shape[1]
+        self.dim = int(dim)
+        self.n = 0
+        self.entry: int = -1          # global row of entry point
+        self.entry_level: int = -1
+        self._ncap = 0
+        self._ids_np = np.zeros((0,), np.int64)
+        self._levels_np = np.zeros((0,), np.int32)
+        # device state (allocated by _ensure_capacity)
+        self._vecs = None             # [Ncap, D] f32
+        self._sqnorms = None          # [Ncap]
+        self._nbr0 = None             # [Ncap, 2M]
+        # upper levels: list indexed by level-1
+        self._upper: List[Dict[str, Any]] = []
+        if x is not None and len(x):
+            self.add(x, ids=ids)
+
+    # ---- capacity management ----
+    def _ensure_capacity(self, need: int) -> None:
+        if need <= self._ncap:
+            return
+        cap = max(1024, self._ncap or 1024)
+        while cap < need:
+            cap *= 2
+        pad = cap - self._ncap
+        if self._vecs is None:
+            self._vecs = jnp.zeros((cap, self.dim), jnp.float32)
+            self._sqnorms = jnp.zeros((cap,), jnp.float32)
+            self._nbr0 = jnp.full((cap, 2 * self.m), -1, jnp.int32)
+        else:
+            self._vecs = jnp.pad(self._vecs, ((0, pad), (0, 0)))
+            self._sqnorms = jnp.pad(self._sqnorms, (0, pad))
+            self._nbr0 = jnp.pad(self._nbr0, ((0, pad), (0, 0)),
+                                 constant_values=-1)
+        for u in self._upper:
+            u["pos"] = jnp.pad(u["pos"], (0, cap - u["pos"].shape[0]),
+                               constant_values=-1)
+        self._ncap = cap
+
+    def _ensure_level(self, level: int) -> None:
+        """Allocate upper-level structures up to ``level``."""
+        while len(self._upper) < level:
+            l = len(self._upper) + 1
+            cap0 = 1024
+            self._upper.append({
+                "n": 0,
+                "nodes": jnp.full((cap0,), -1, jnp.int32),     # local -> global
+                "pos": jnp.full((max(self._ncap, 1),), -1, jnp.int32),
+                "nbr": jnp.full((cap0, self.m), -1, jnp.int32),  # local rows
+            })
+
+    def _grow_upper(self, l: int, need: int) -> None:
+        u = self._upper[l - 1]
+        cap = u["nodes"].shape[0]
+        if need <= cap:
+            return
+        new = cap
+        while new < need:
+            new *= 2
+        u["nodes"] = jnp.pad(u["nodes"], (0, new - cap), constant_values=-1)
+        u["nbr"] = jnp.pad(u["nbr"], ((0, new - cap), (0, 0)),
+                           constant_values=-1)
+
+    # ---- level assignment (hnsw_am.c:1143) ----
+    def _draw_levels(self, count: int) -> np.ndarray:
+        u = self._rng.random(count)
+        lv = np.floor(-np.log(np.maximum(u, 1e-12)) * self.ml).astype(np.int32)
+        return np.minimum(lv, self.max_level)
+
+    # ---- insertion ----
+    def add(self, vectors, ids=None) -> np.ndarray:
+        x = np.asarray(vectors, np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if self._spherical:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+        m = x.shape[0]
+        start_id = int(self._ids_np.max()) + 1 if len(self._ids_np) else 0
+        new_ids = (np.asarray(ids, np.int64) if ids is not None
+                   else np.arange(start_id, start_id + m, dtype=np.int64))
+        # Internal insertion order is shuffled: waves of correlated input
+        # (e.g. one cluster arriving contiguously) would otherwise land in
+        # a single wave and never interlink. External ids are unaffected.
+        perm = self._rng.permutation(m)
+        x = x[perm]
+        ret_ids = new_ids.copy()
+        new_ids = new_ids[perm]
+        levels = self._draw_levels(m)
+
+        self._ensure_capacity(self.n + m)
+        rows = np.arange(self.n, self.n + m, dtype=np.int32)
+        xj = jnp.asarray(x)
+        self._vecs = self._vecs.at[self.n:self.n + m].set(xj)
+        self._sqnorms = self._sqnorms.at[self.n:self.n + m].set(
+            jnp.sum(xj * xj, axis=1))
+        self._ids_np = np.concatenate([self._ids_np, new_ids])
+        self._levels_np = np.concatenate([self._levels_np, levels])
+        self.n += m
+
+        # register upper-level membership
+        top = int(levels.max()) if m else 0
+        self._ensure_level(max(top, 0))
+        upper_rows = {}
+        for l in range(1, top + 1):
+            members = rows[levels >= l]
+            if len(members) == 0:
+                continue
+            u = self._upper[l - 1]
+            self._grow_upper(l, u["n"] + len(members))
+            loc = np.arange(u["n"], u["n"] + len(members), dtype=np.int32)
+            u["nodes"] = u["nodes"].at[loc].set(jnp.asarray(members))
+            u["pos"] = u["pos"].at[jnp.asarray(members)].set(jnp.asarray(loc))
+            u["n"] += len(members)
+            upper_rows[l] = dict(zip(members.tolist(), loc.tolist()))
+
+        # bootstrap: first ever node becomes the entry point
+        offset = 0
+        if self.entry < 0:
+            self.entry = int(rows[0])
+            self.entry_level = int(levels[0])
+            offset = 1
+        # Wave insertion with geometric growth: a wave never exceeds the
+        # number of already-linked nodes, so the candidate pool a wave
+        # searches is at least half of the final graph at its insertion
+        # point. (A fixed large wave against a tiny seed graph degenerates
+        # into a star: wave-1 nodes all link only to the seed and most of
+        # the corpus becomes unreachable.) Entry promotion runs between
+        # waves so later waves see the tallest routing tower so far.
+        linked = self.n - m + offset
+        s = offset
+        while s < m:
+            w = max(16, min(self._wave, linked))
+            e = min(s + w, m)
+            self._insert_wave(rows[s:e], levels[s:e], upper_rows)
+            linked += e - s
+            wbest = int(levels[s:e].argmax())
+            if int(levels[s:e][wbest]) > self.entry_level:
+                self.entry = int(rows[s:e][wbest])
+                self.entry_level = int(levels[s:e][wbest])
+            s = e
+        return ret_ids
+
+    def _insert_wave(self, rows: np.ndarray, levels: np.ndarray,
+                     upper_rows: Dict[int, Dict[int, int]]) -> None:
+        W = len(rows)
+        if W == 0:
+            return
+        q = self._vecs[jnp.asarray(rows)]
+        efc = self.ef_construction
+        node_top = int(levels.max())
+        graph_top = self.entry_level
+
+        # --- descent from the entry through levels above each node's level ---
+        cur_global = np.full(W, self.entry, np.int32)
+        cur_g = jnp.asarray(cur_global)
+        per_level_entry: Dict[int, jax.Array] = {}
+        for l in range(graph_top, 0, -1):
+            u = self._upper[l - 1]
+            loc = u["pos"][cur_g]
+            # nodes whose level >= l will beam-search at l; others keep descending
+            loc = jnp.maximum(loc, 0)
+            loc = _greedy_descent(
+                q, loc, self._vecs, self._sqnorms, u["nbr"], u["nodes"],
+                metric=self._imetric, max_steps=256)
+            per_level_entry[l] = loc
+            cur_g = u["nodes"][loc]
+        entry0 = cur_g                                          # [W] global
+
+        # --- intra-wave candidates: wave members don't see each other via
+        # the frozen graph, so add each node's nearest earlier-in-wave
+        # members to its candidate pool (serial-insert visibility order) ---
+        rows_j = jnp.asarray(rows)
+        within = None
+        if W > 1:
+            if self._imetric == "ip":
+                d_ww = -jnp.dot(q, q.T, preferred_element_type=jnp.float32)
+            else:
+                qs = jnp.sum(q * q, axis=1)
+                d_ww = jnp.maximum(
+                    qs[:, None] + qs[None, :]
+                    - 2.0 * jnp.dot(q, q.T, preferred_element_type=jnp.float32),
+                    0.0)
+            iu = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+            ju = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+            d_ww = jnp.where(ju < iu, d_ww, INF)       # earlier members only
+            kw = min(self.m, W)
+            _, wpos = jax.lax.top_k(-d_ww, kw)
+            wvalid = jnp.take_along_axis(d_ww, wpos, axis=1) < INF
+            within = jnp.where(wvalid, rows_j[wpos], -1)   # [W, kw] global
+
+        # --- per-level beam search + linking, top level down ---
+        sel_np: Dict[int, np.ndarray] = {}
+        for l in range(min(node_top, graph_top), 0, -1):
+            u = self._upper[l - 1]
+            bd, bi = _beam_search(
+                q, per_level_entry[l], self._vecs, self._sqnorms,
+                u["nbr"], u["nodes"], u["n"],
+                metric=self._imetric, ef=efc,
+                max_steps=4 * efc, identity_map=False)
+            cand = bi
+            if within is not None:
+                # wave members in local rows; pos is -1 for nodes whose
+                # level is below l, which masks them out naturally
+                wloc = jnp.where(within >= 0,
+                                 u["pos"][jnp.maximum(within, 0)], -1)
+                cand = jnp.concatenate([bi, wloc], axis=1)
+            sel = np.array(self._select(q, cand, self.m, upper=u))
+            mask = levels >= l
+            sel[~mask] = -1
+            sel_np[l] = sel
+        # level 0
+        bd0, bi0 = _beam_search(
+            q, entry0, self._vecs, self._sqnorms, self._nbr0,
+            jnp.zeros((1,), jnp.int32), self.n,
+            metric=self._imetric, ef=efc, max_steps=4 * efc,
+            identity_map=True)
+        cand0 = bi0 if within is None else jnp.concatenate([bi0, within], axis=1)
+        sel0 = np.asarray(self._select(q, cand0, self.m))      # global rows
+
+        # --- apply links ---
+        self._link_level0(rows, sel0)
+        for l, sel in sel_np.items():
+            self._link_upper(l, rows, levels, sel, upper_rows[l])
+
+    def _select(self, q: jax.Array, beam_rows: jax.Array, cap: int,
+                upper: Optional[Dict[str, Any]] = None) -> jax.Array:
+        """Pick ``cap`` neighbors from beam candidates: diversity heuristic
+        by default, closest-only (reference policy) when disabled."""
+        if not self._heuristic:
+            return beam_rows[:, :cap]
+        cand = beam_rows
+        if upper is not None:
+            cand_g = jnp.where(cand >= 0,
+                               upper["nodes"][jnp.maximum(cand, 0)], -1)
+        else:
+            cand_g = cand
+        lists_g = _select_neighbors_heuristic(
+            q, cand_g, self._vecs, self._sqnorms,
+            metric=self._imetric, cap=cap)
+        if upper is not None:
+            return jnp.where(lists_g >= 0,
+                             upper["pos"][jnp.maximum(lists_g, 0)], -1)
+        return lists_g
+
+    def _link_level0(self, rows: np.ndarray, sel: np.ndarray) -> None:
+        cap = 2 * self.m
+        m = self.m
+        # new nodes' own lists: closest-m (pad to cap)
+        own = np.full((len(rows), cap), -1, np.int32)
+        own[:, :m] = sel
+        self._nbr0 = self._nbr0.at[jnp.asarray(rows)].set(jnp.asarray(own))
+        # reverse edges grouped by target
+        self._apply_reverse(rows, sel, level=0)
+
+    def _link_upper(self, l: int, rows: np.ndarray, levels: np.ndarray,
+                    sel: np.ndarray, local_of: Dict[int, int]) -> None:
+        u = self._upper[l - 1]
+        mask = levels >= l
+        wrows = rows[mask]
+        wsel = sel[mask]
+        if len(wrows) == 0:
+            return
+        wloc = np.asarray([local_of[int(r)] for r in wrows], np.int32)
+        own = np.full((len(wloc), self.m), -1, np.int32)
+        own[:, : self.m] = wsel[:, : self.m]
+        u["nbr"] = u["nbr"].at[jnp.asarray(wloc)].set(jnp.asarray(own))
+        self._apply_reverse(wloc, wsel, level=l)
+
+    def _apply_reverse(self, src_rows: np.ndarray, sel: np.ndarray,
+                       level: int) -> None:
+        """Group reverse edges by target and re-prune each touched list to
+        closest-capacity. src/sel are local rows at ``level``."""
+        cap = 2 * self.m if level == 0 else self.m
+        edges_v: List[int] = []
+        edges_u: List[int] = []
+        for i, r in enumerate(src_rows):
+            for v in sel[i]:
+                if v >= 0:
+                    edges_v.append(int(v))
+                    edges_u.append(int(r))
+        if not edges_v:
+            return
+        ev = np.asarray(edges_v, np.int64)
+        eu = np.asarray(edges_u, np.int64)
+        order = np.argsort(ev, kind="stable")
+        ev, eu = ev[order], eu[order]
+        uniq, starts = np.unique(ev, return_index=True)
+        groups = np.split(eu, starts[1:])
+        maxnew = max(len(g) for g in groups)
+        newmat = np.full((len(uniq), maxnew), -1, np.int32)
+        for i, g in enumerate(groups):
+            newmat[i, : len(g)] = g
+
+        nbr = self._nbr0 if level == 0 else self._upper[level - 1]["nbr"]
+        uq = jnp.asarray(uniq.astype(np.int32))
+        existing = nbr[uq]                                     # [V, cap]
+        cand = jnp.concatenate([existing, jnp.asarray(newmat)], axis=1)
+        if level == 0:
+            vvecs = self._vecs[uq]
+            cand_g = cand
+        else:
+            u = self._upper[level - 1]
+            vvecs = self._vecs[u["nodes"][uq]]
+            cand_g = jnp.where(cand >= 0,
+                               u["nodes"][jnp.maximum(cand, 0)], -1)
+        # bound the heuristic's O(C^2) pairwise block for hub targets
+        if cand_g.shape[1] > 6 * cap:
+            cand_g = _prune_closest(vvecs, cand_g, self._vecs, self._sqnorms,
+                                    metric=self._imetric, cap=6 * cap)
+        if self._heuristic:
+            lists_g = _select_neighbors_heuristic(
+                vvecs, cand_g, self._vecs, self._sqnorms,
+                metric=self._imetric, cap=cap)
+        else:
+            lists_g = _prune_closest(vvecs, cand_g, self._vecs, self._sqnorms,
+                                     metric=self._imetric, cap=cap)
+        if level == 0:
+            self._nbr0 = self._nbr0.at[uq].set(lists_g)
+        else:
+            u = self._upper[level - 1]
+            lists = jnp.where(lists_g >= 0,
+                              u["pos"][jnp.maximum(lists_g, 0)], -1)
+            u["nbr"] = u["nbr"].at[uq].set(lists)
+
+    @property
+    def _imetric(self) -> str:
+        # internal metric: cosine runs on the unit sphere as squared L2
+        return "ip" if self.metric == "ip" else "sqeuclidean"
+
+    # ---- search ----
+    def search(self, queries, k: int = 10, *, ef: Optional[int] = None,
+               max_steps: Optional[int] = None,
+               batch: int = 256) -> Tuple[np.ndarray, np.ndarray]:
+        cfg = get_config()
+        ef = int(ef or self.ef_search)
+        ef = max(ef, k)
+        q, single = as_batch(queries)
+        if self._spherical:
+            qn = jnp.linalg.norm(q, axis=1, keepdims=True)
+            q = q / jnp.maximum(qn, 1e-30)
+        steps = int(max_steps or (2 * ef + 32))
+        outs_d, outs_i = [], []
+        for s in range(0, q.shape[0], batch):
+            qb = q[s:s + batch]
+            bd, bi = self._search_batch(qb, ef, steps)
+            outs_d.append(bd[:, :k])
+            outs_i.append(bi[:, :k])
+        dists = np.concatenate(outs_d) if len(outs_d) > 1 else np.asarray(outs_d[0])
+        rows = np.concatenate(outs_i) if len(outs_i) > 1 else np.asarray(outs_i[0])
+        dists = self._postprocess_dist(np.asarray(dists))
+        ids = np.where(rows >= 0, self._ids_np[np.maximum(rows, 0)], -1)
+        return (dists[0], ids[0]) if single else (dists, ids)
+
+    def _search_batch(self, q: jax.Array, ef: int, steps: int):
+        B = q.shape[0]
+        cur = jnp.full((B,), self.entry, jnp.int32)
+        for l in range(self.entry_level, 0, -1):
+            u = self._upper[l - 1]
+            loc = jnp.maximum(u["pos"][cur], 0)
+            loc = _greedy_descent(q, loc, self._vecs, self._sqnorms,
+                                  u["nbr"], u["nodes"],
+                                  metric=self._imetric, max_steps=256)
+            cur = u["nodes"][loc]
+        bd, bi = _beam_search(
+            q, cur, self._vecs, self._sqnorms, self._nbr0,
+            jnp.zeros((1,), jnp.int32), self.n,
+            metric=self._imetric, ef=ef, max_steps=steps, identity_map=True)
+        return np.asarray(bd), np.asarray(bi)
+
+    def _postprocess_dist(self, d: np.ndarray) -> np.ndarray:
+        if self.metric == "l2":
+            return np.sqrt(np.maximum(d, 0.0))
+        if self.metric == "cosine":
+            return d * 0.5
+        return d
+
+    # ---- persistence ----
+    def _state(self):
+        arrays = {
+            "vecs": self._vecs[: self.n],
+            "nbr0": self._nbr0[: self.n],
+            "ids": self._ids_np,
+            "levels": self._levels_np,
+        }
+        for l, u in enumerate(self._upper, start=1):
+            arrays[f"u{l}_nodes"] = u["nodes"][: u["n"]]
+            arrays[f"u{l}_nbr"] = u["nbr"][: u["n"]]
+        meta = {"m": self.m, "ef_construction": self.ef_construction,
+                "ef_search": self.ef_search, "ml": self.ml, "n": self.n,
+                "entry": self.entry, "entry_level": self.entry_level,
+                "num_upper": len(self._upper), "seed": self._seed,
+                "heuristic": self._heuristic}
+        return arrays, meta
+
+    def _load_state(self, arrays, meta):
+        self.metric = meta["metric"]
+        self.dim = meta["dim"]
+        self.m = meta["m"]
+        self.ef_construction = meta["ef_construction"]
+        self.ef_search = meta["ef_search"]
+        self.ml = meta["ml"]
+        self.max_level = get_config().hnsw_max_level
+        self._wave = get_config().hnsw_build_wave
+        self._rng = np.random.default_rng(meta.get("seed", 0))
+        self._seed = meta.get("seed", 0)
+        self._heuristic = meta.get("heuristic", True)
+        self._spherical = self.metric == "cosine"
+        self.entry = meta["entry"]
+        self.entry_level = meta["entry_level"]
+        n = meta["n"]
+        self.n = n
+        self._ncap = 0
+        self._vecs = None
+        self._upper = []
+        self._ensure_capacity(max(n, 1))
+        x = jnp.asarray(arrays["vecs"])
+        self._vecs = self._vecs.at[:n].set(x)
+        self._sqnorms = self._sqnorms.at[:n].set(jnp.sum(x * x, axis=1))
+        self._nbr0 = self._nbr0.at[:n].set(jnp.asarray(arrays["nbr0"]))
+        self._ids_np = np.asarray(arrays["ids"])
+        self._levels_np = np.asarray(arrays["levels"])
+        self._upper = []
+        for l in range(1, meta["num_upper"] + 1):
+            nodes = np.asarray(arrays[f"u{l}_nodes"])
+            nbr = np.asarray(arrays[f"u{l}_nbr"])
+            nl = len(nodes)
+            cap = max(1024, nl)
+            pos = np.full((self._ncap,), -1, np.int32)
+            pos[nodes] = np.arange(nl, dtype=np.int32)
+            self._upper.append({
+                "n": nl,
+                "nodes": jnp.asarray(np.pad(nodes, (0, cap - nl),
+                                            constant_values=-1)),
+                "pos": jnp.asarray(pos),
+                "nbr": jnp.asarray(np.pad(nbr, ((0, cap - nl), (0, 0)),
+                                          constant_values=-1)),
+            })
+
+    # ---- diagnostics (index_validator.c analog) ----
+    def stats(self) -> Dict[str, Any]:
+        nbr = np.asarray(self._nbr0[: self.n])
+        deg = (nbr >= 0).sum(axis=1)
+        return {"kind": self.kind, "n": self.n, "m": self.m,
+                "metric": self.metric, "entry_level": self.entry_level,
+                "level_histogram": np.bincount(self._levels_np).tolist(),
+                "degree_mean": float(deg.mean()) if self.n else 0.0,
+                "degree_min": int(deg.min()) if self.n else 0,
+                "isolated_nodes": int((deg == 0).sum())}

@@ -1,0 +1,260 @@
+"""IVFFlat — k-means-partitioned ANN index, fused probe scans on TPU.
+
+Reference behavior being rebuilt (NeuronDB/src/index/ivf_am.c):
+- build: sample <= min(10000, nlists*100) vectors (:580), Lloyd's k-means
+  (<=50 iters @ 1e-3, :56-57), centroids stored once (:639-711), inverted
+  lists populated by inserts (:728-731);
+- scan: select nprobe nearest centroids (:1597-1717), walk the selected
+  list chains computing distances (:1722+), sort and emit top-k (:1911);
+- defaults nlists=100, nprobe=10 (:54-55).
+
+TPU redesign (SURVEY.md §7 phase 1): after assignment the vectors are
+physically reordered cluster-contiguous (CSR: offsets[nlist+1] + flat
+[N, D] block). A batched query runs as
+  (1) centroid GEMM + top-nprobe on the MXU,
+  (2) a lax.scan over probe ranks; per rank every query DMA-gathers fixed
+      SEGMENT-row windows of its probed cluster and scores them with a
+      VPU multiply-reduce against precomputed squared norms,
+  (3) a running top-k merge (ops.topk.merge_topk).
+Everything is static-shape; short lists are masked, never branched on.
+
+Divergences from the reference, intentional (SURVEY.md §7 hard part 5):
+- cluster selection honors the index metric (cosine uses normalized
+  vectors, ip uses dot) instead of the reference's L2-only selection
+  (ivf_am.c:1676-1680), matching standard IVF quality;
+- build populates lists immediately (the reference's lazy population just
+  reflects PG insert flow); ``add`` appends to an exact-scanned spill
+  buffer until ``rebuild_lists`` folds it in (neurandefrag role).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurondb_tpu.config import get_config
+from neurondb_tpu.index.base import BaseIndex, as_batch
+from neurondb_tpu.ml.kmeans import kmeans_fit, kmeans_predict
+from neurondb_tpu.ops import distance as D
+from neurondb_tpu.ops import topk as TK
+
+SEGMENT = 512  # rows gathered per probe step; tuned for VMEM residency
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "max_segs", "segment"))
+def _ivf_search_device(
+    q: jax.Array,           # [B, D] float32 (pre-normalized for cosine)
+    centroids: jax.Array,   # [nlist, D]
+    vecs: jax.Array,        # [Npad, D] cluster-contiguous
+    sqnorms: jax.Array,     # [Npad]
+    row_ids: jax.Array,     # [Npad] int32 -> original row (-1 pad)
+    offsets: jax.Array,     # [nlist] int32 start of each list
+    counts: jax.Array,      # [nlist] int32 list lengths
+    *, k: int, nprobe: int, metric: str, max_segs: int, segment: int,
+) -> Tuple[jax.Array, jax.Array]:
+    B = q.shape[0]
+    q_sq = jnp.sum(q * q, axis=1)
+
+    # (1) coarse: centroid scores, top-nprobe
+    cd = D.pairwise_distance(q, centroids, "sqeuclidean" if metric != "ip" else "ip")
+    _, probes = TK.topk_smallest(cd, nprobe)                   # [B, nprobe]
+
+    init = (jnp.full((B, k), TK.NEG_FILL, jnp.float32),
+            jnp.full((B, k), -1, jnp.int32))
+
+    def probe_step(carry, probe_col):                          # probe_col [B]
+        bvals, bids = carry
+        off = offsets[probe_col]                               # [B]
+        cnt = counts[probe_col]                                # [B]
+
+        def seg_step(carry, s):
+            bvals, bids = carry
+            start = off + s * segment                          # [B]
+            rows = start[:, None] + jnp.arange(segment)[None, :]   # [B, S]
+            in_list = rows < (off + cnt)[:, None]
+            rows_safe = jnp.clip(rows, 0, vecs.shape[0] - 1)
+            g = vecs[rows_safe]                                # [B, S, D] gather
+            if metric == "ip":
+                d = -jnp.einsum("bd,bsd->bs", q, g)
+            else:
+                dots = jnp.einsum("bd,bsd->bs", q, g)
+                d = q_sq[:, None] + sqnorms[rows_safe] - 2.0 * dots
+                d = jnp.maximum(d, 0.0)
+            d = jnp.where(in_list, d, TK.NEG_FILL)
+            cand_ids = jnp.where(in_list, row_ids[rows_safe], -1)
+            cv, cpos = TK.topk_smallest(d, min(k, segment))
+            cids = jnp.take_along_axis(cand_ids, cpos, axis=-1)
+            return TK.merge_topk(bvals, bids, cv, cids, k), None
+
+        (bvals, bids), _ = jax.lax.scan(
+            seg_step, (bvals, bids), jnp.arange(max_segs))
+        return (bvals, bids), None
+
+    (vals, ids), _ = jax.lax.scan(probe_step, init, probes.T)
+    if metric == "l2":
+        vals = jnp.sqrt(jnp.maximum(vals, 0.0))
+    elif metric == "cosine":
+        vals = vals * 0.5       # unit vectors: 1 - cos = ||q-x||^2 / 2
+    return vals, ids
+
+
+class IVFFlatIndex(BaseIndex):
+    kind = "ivfflat"
+
+    def __init__(self, vectors, *, nlists: Optional[int] = None,
+                 metric: str = "l2", ids=None, seed: int = 0,
+                 kmeans_iters: Optional[int] = None,
+                 sample_cap: Optional[int] = None,
+                 spherical: Optional[bool] = None):
+        cfg = get_config()
+        x = np.asarray(vectors, np.float32)
+        n, d = x.shape
+        self.metric = D.canonical_metric(metric)
+        self.dim = d
+        self.n = n
+        self.nlists = int(nlists if nlists is not None else cfg.ivf_nlists)
+        self.nlists = max(1, min(self.nlists, n))
+        self._seed = seed
+        self._ids = np.asarray(ids, np.int64) if ids is not None \
+            else np.arange(n, dtype=np.int64)
+        # cosine: work on the unit sphere so sq-L2 ranks identically
+        self._spherical = (self.metric == "cosine") if spherical is None else spherical
+        if self._spherical:
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(norms, 1e-30)
+        self._x = x
+
+        # ---- train: sampled Lloyd's (ivf_am.c:580 sampling rule) ----
+        cap = int(sample_cap if sample_cap is not None
+                  else max(cfg.ivf_sample_cap, self.nlists * 100))
+        rng = np.random.default_rng(seed)
+        sample = x if n <= cap else x[rng.choice(n, cap, replace=False)]
+        state = kmeans_fit(jnp.asarray(sample), self.nlists,
+                           max_iter=int(kmeans_iters or cfg.ivf_kmeans_iters),
+                           tol=cfg.ivf_kmeans_tol, seed=seed)
+        self.centroids = state.centroids
+        self.train_inertia = float(state.inertia)
+        self._build_lists(x)
+        self._spill: list = []        # unindexed inserts, exact-scanned
+
+    # ---- list construction ----
+    def _build_lists(self, x: np.ndarray) -> None:
+        labels = np.asarray(kmeans_predict(self.centroids, jnp.asarray(x)))
+        order = np.argsort(labels, kind="stable")
+        counts = np.bincount(labels, minlength=self.nlists).astype(np.int32)
+        offsets = np.zeros(self.nlists, np.int32)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        xo = x[order]
+        n = x.shape[0]
+        npad = max(1, -(-n // SEGMENT) * SEGMENT)
+        self._vecs = jnp.asarray(np.pad(xo, ((0, npad - n), (0, 0))))
+        self._sqnorms = jnp.sum(self._vecs * self._vecs, axis=1)
+        self._row_ids = jnp.asarray(np.pad(
+            order.astype(np.int32), (0, npad - n), constant_values=-1))
+        self._offsets = jnp.asarray(offsets)
+        self._counts = jnp.asarray(counts)
+        self.max_list = int(counts.max()) if n else 1
+        self._labels = labels
+
+    # ---- mutation (lazy-list parity) ----
+    def add(self, vectors, ids=None) -> np.ndarray:
+        v = np.asarray(vectors, np.float32)
+        if v.ndim == 1:
+            v = v[None, :]
+        if self._spherical:
+            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        new_ids = (np.asarray(ids, np.int64) if ids is not None else
+                   np.arange(self._ids.max() + 1 if len(self._ids) else 0,
+                             (self._ids.max() + 1 if len(self._ids) else 0) + len(v),
+                             dtype=np.int64))
+        self._spill.append((v, new_ids))
+        return new_ids
+
+    def rebuild_lists(self) -> None:
+        """Fold spill buffer into the posting lists (defrag/compaction)."""
+        if not self._spill:
+            return
+        vs = np.concatenate([self._x] + [v for v, _ in self._spill])
+        ids = np.concatenate([self._ids] + [i for _, i in self._spill])
+        self._x, self._ids = vs, ids
+        self.n = len(vs)
+        self._spill = []
+        self._build_lists(vs)
+
+    # ---- search ----
+    def search(self, queries, k: int = 10, *, nprobe: Optional[int] = None,
+               **kw) -> Tuple[np.ndarray, np.ndarray]:
+        cfg = get_config()
+        nprobe = int(nprobe if nprobe is not None else cfg.ivf_nprobe)
+        nprobe = max(1, min(nprobe, self.nlists))
+        q, single = as_batch(queries)
+        if self._spherical:
+            qn = jnp.linalg.norm(q, axis=1, keepdims=True)
+            q = q / jnp.maximum(qn, 1e-30)
+        max_segs = max(1, -(-self.max_list // SEGMENT))
+        vals, rows = _ivf_search_device(
+            q, self.centroids, self._vecs, self._sqnorms, self._row_ids,
+            self._offsets, self._counts,
+            k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
+            max_segs=max_segs, segment=SEGMENT)
+        ids_arr = jnp.asarray(self._ids)
+        ids = jnp.where(rows >= 0, ids_arr[jnp.maximum(rows, 0)], -1)
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        if self._spill:
+            vals, ids = self._merge_spill(np.asarray(q), k, vals, ids)
+        return (vals[0], ids[0]) if single else (vals, ids)
+
+    def _merge_spill(self, q: np.ndarray, k: int, vals, ids):
+        sv = np.concatenate([v for v, _ in self._spill])
+        sids = np.concatenate([i for _, i in self._spill])
+        d = np.asarray(D.pairwise_distance(jnp.asarray(q), jnp.asarray(sv),
+                                           self.metric))
+        if self._spherical and self.metric == "cosine":
+            pass  # pairwise cosine already metric-true
+        both_v = np.concatenate([vals, d], axis=1)
+        both_i = np.concatenate(
+            [ids, np.broadcast_to(sids, (len(q), len(sids)))], axis=1)
+        ordv = np.argsort(both_v, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(both_v, ordv, axis=1),
+                np.take_along_axis(both_i, ordv, axis=1))
+
+    # ---- persistence ----
+    def _state(self):
+        self.rebuild_lists()
+        return ({"x": self._x, "ids": self._ids,
+                 "centroids": self.centroids},
+                {"nlists": self.nlists, "n": self.n, "seed": self._seed,
+                 "spherical": self._spherical})
+
+    def _load_state(self, arrays, meta):
+        self.metric = meta["metric"]
+        self.dim = meta["dim"]
+        self.n = meta["n"]
+        self.nlists = meta["nlists"]
+        self._seed = meta.get("seed", 0)
+        self._spherical = meta.get("spherical", self.metric == "cosine")
+        self._x = np.asarray(arrays["x"], np.float32)
+        self._ids = np.asarray(arrays["ids"], np.int64)
+        self.centroids = jnp.asarray(arrays["centroids"])
+        self.train_inertia = float("nan")
+        self._build_lists(self._x)
+        self._spill = []
+
+    # ---- diagnostics (index_validator.c analog) ----
+    def stats(self) -> Dict[str, Any]:
+        c = np.asarray(self._counts)
+        return {
+            "kind": self.kind, "n": self.n, "nlists": self.nlists,
+            "metric": self.metric,
+            "list_len_min": int(c.min()), "list_len_max": int(c.max()),
+            "list_len_mean": float(c.mean()),
+            "empty_lists": int((c == 0).sum()),
+            "imbalance": float(c.max() / max(c.mean(), 1e-9)),
+            "train_inertia": self.train_inertia,
+        }

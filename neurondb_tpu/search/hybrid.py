@@ -1,0 +1,178 @@
+"""Hybrid search: vector + BM25 fusion, RRF, MMR, faceted, temporal.
+
+Reference semantics (NeuronDB/src/search/hybrid_search.c):
+- hybrid_search: score = w * (1 - vec_dist) + (1 - w) * text_rank with a
+  metadata filter (:84, :200-220);
+- reciprocal_rank_fusion (:359), semantic_keyword_search (:552),
+  multi_vector_search (:689), faceted_vector_search (:878),
+  temporal_vector_search (:1005), diverse_vector_search / MMR (:1138);
+plus the time-decay rescoring of src/search/temporal_integration.c and the
+MMR reranker in src/ml/ml_mmr.c (:75, :236).
+
+Instead of SPI-generated SQL, fusion works over (ids, scores) arrays from
+the index API + a BM25Index; set operations are id-aligned numpy.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from neurondb_tpu.ops import distance as D
+from neurondb_tpu.search.bm25 import BM25Index
+
+
+def _normalize_scores(s: np.ndarray) -> np.ndarray:
+    lo, hi = s.min(), s.max()
+    return (s - lo) / (hi - lo) if hi > lo else np.zeros_like(s)
+
+
+def hybrid_search(index, bm25: BM25Index, query_vec, query_text: str,
+                  k: int = 10, *, weight: float = 0.5,
+                  candidates: int = 100,
+                  filter_fn: Optional[Callable[[int], bool]] = None,
+                  **search_kw) -> Tuple[np.ndarray, np.ndarray]:
+    """score = w * (1 - dist_norm) + (1 - w) * bm25_norm
+    (hybrid_search.c:200-220 semantics with normalized components).
+    Returns (scores desc, ids)."""
+    vd, vids = index.search(np.asarray(query_vec), k=candidates, **search_kw)
+    if vd.ndim > 1:
+        vd, vids = vd[0], vids[0]
+    ok = vids >= 0
+    vd, vids = vd[ok], vids[ok]
+    tscores = bm25.scores(query_text)
+    t_norm = _normalize_scores(tscores)
+    vec_component = 1.0 - _normalize_scores(vd)
+    pool: Dict[int, float] = {}
+    for d, i in zip(vec_component, vids):
+        txt = t_norm[i] if 0 <= i < len(t_norm) else 0.0
+        pool[int(i)] = weight * float(d) + (1.0 - weight) * float(txt)
+    # pull in strong text-only hits too (the SQL UNION the reference builds)
+    top_text = np.argsort(-tscores, kind="stable")[:candidates]
+    for i in top_text:
+        if tscores[i] <= 0:
+            break
+        if int(i) not in pool:
+            pool[int(i)] = (1.0 - weight) * float(t_norm[i])
+    if filter_fn is not None:
+        pool = {i: s for i, s in pool.items() if filter_fn(i)}
+    items = sorted(pool.items(), key=lambda kv: -kv[1])[:k]
+    ids = np.asarray([i for i, _ in items], np.int64)
+    scores = np.asarray([s for _, s in items], np.float32)
+    return scores, ids
+
+
+def reciprocal_rank_fusion(rankings: Sequence[np.ndarray], k: int = 10,
+                           rrf_k: float = 60.0) -> Tuple[np.ndarray, np.ndarray]:
+    """RRF over any number of ranked id lists (hybrid_search.c:359):
+    score(d) = sum_r 1 / (rrf_k + rank_r(d))."""
+    scores: Dict[int, float] = {}
+    for ranking in rankings:
+        for rank, doc in enumerate(np.asarray(ranking).ravel()):
+            if doc < 0:
+                continue
+            scores[int(doc)] = scores.get(int(doc), 0.0) + 1.0 / (rrf_k + rank + 1)
+    items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return (np.asarray([s for _, s in items], np.float32),
+            np.asarray([i for i, _ in items], np.int64))
+
+
+def mmr_diverse_search(query_vec, cand_vecs, cand_ids, k: int = 10,
+                       *, lambda_: float = 0.5,
+                       metric: str = "cosine") -> Tuple[np.ndarray, np.ndarray]:
+    """Maximal Marginal Relevance re-selection (ml_mmr.c:75; diverse_vector_
+    search hybrid_search.c:1138): greedily pick argmax of
+    lambda * sim(q, d) - (1 - lambda) * max_sim(d, selected)."""
+    q = np.asarray(query_vec, np.float32)[None, :]
+    X = np.asarray(cand_vecs, np.float32)
+    ids = np.asarray(cand_ids)
+    n = len(X)
+    k = min(k, n)
+    sim_q = 1.0 - np.asarray(D.pairwise_distance(jnp.asarray(q),
+                                                 jnp.asarray(X), metric))[0]
+    sim_dd = 1.0 - np.asarray(D.pairwise_distance(jnp.asarray(X),
+                                                  jnp.asarray(X), metric))
+    selected: List[int] = []
+    max_sim = np.full(n, -np.inf, np.float32)
+    scores = np.zeros(k, np.float32)
+    for step in range(k):
+        mmr = lambda_ * sim_q - (1 - lambda_) * np.where(
+            np.isfinite(max_sim), max_sim, 0.0)
+        mmr[selected] = -np.inf
+        best = int(np.argmax(mmr))
+        scores[step] = mmr[best]
+        selected.append(best)
+        max_sim = np.maximum(max_sim, sim_dd[:, best])
+    return scores, ids[selected]
+
+
+def temporal_vector_search(index, query_vec, timestamps: np.ndarray,
+                           k: int = 10, *, decay: float = 0.01,
+                           now: Optional[float] = None,
+                           candidates: int = 100,
+                           **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """Time-decay rescoring (hybrid_search.c:1005; temporal_integration.c):
+    score = (1 - dist_norm) * exp(-decay * age_days). ``timestamps`` maps
+    id -> unix seconds."""
+    now = time.time() if now is None else now
+    vd, vids = index.search(np.asarray(query_vec), k=candidates, **kw)
+    if vd.ndim > 1:
+        vd, vids = vd[0], vids[0]
+    ok = vids >= 0
+    vd, vids = vd[ok], vids[ok]
+    rel = 1.0 - _normalize_scores(vd)
+    age_days = (now - timestamps[vids]) / 86400.0
+    score = rel * np.exp(-decay * np.maximum(age_days, 0.0))
+    order = np.argsort(-score, kind="stable")[:k]
+    return score[order].astype(np.float32), vids[order]
+
+
+def faceted_vector_search(index, query_vec, facets: Dict[int, Dict],
+                          facet_filter: Dict, k: int = 10, *,
+                          candidates: int = 200,
+                          **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """ANN + metadata facet filter (hybrid_search.c:878): keep candidates
+    whose facet dict contains every key=value of ``facet_filter``."""
+    vd, vids = index.search(np.asarray(query_vec), k=candidates, **kw)
+    if vd.ndim > 1:
+        vd, vids = vd[0], vids[0]
+    keep = [j for j, i in enumerate(vids) if i >= 0 and all(
+        facets.get(int(i), {}).get(fk) == fv
+        for fk, fv in facet_filter.items())]
+    keep = keep[:k]
+    return vd[keep], vids[keep]
+
+
+def multi_vector_search(index, query_vecs, k: int = 10, *,
+                        agg: str = "min", candidates: int = 100,
+                        **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """Multi-query search (hybrid_search.c:689): union candidates from each
+    query vector, aggregate per-doc distance by min/mean, return top-k."""
+    q = np.atleast_2d(np.asarray(query_vecs, np.float32))
+    vd, vids = index.search(q, k=candidates, **kw)
+    pool: Dict[int, List[float]] = {}
+    for b in range(vd.shape[0]):
+        for d, i in zip(vd[b], vids[b]):
+            if i >= 0:
+                pool.setdefault(int(i), []).append(float(d))
+    rows = [(min(v) if agg == "min" else sum(v) / len(v), i)
+            for i, v in pool.items()]
+    rows.sort()
+    rows = rows[:k]
+    return (np.asarray([d for d, _ in rows], np.float32),
+            np.asarray([i for _, i in rows], np.int64))
+
+
+def semantic_keyword_search(index, bm25: BM25Index, query_vec,
+                            query_text: str, k: int = 10,
+                            **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """RRF-fused semantic + keyword results (hybrid_search.c:552)."""
+    _, vids = index.search(np.asarray(query_vec), k=max(k * 10, 50), **kw)
+    if vids.ndim > 1:
+        vids = vids[0]
+    _, tids = bm25.search(query_text, k=max(k * 10, 50))
+    return reciprocal_rank_fusion([vids, tids], k=k)

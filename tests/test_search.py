@@ -1,0 +1,194 @@
+"""Hybrid search / BM25 / rerankers / RAG / metrics."""
+
+import numpy as np
+import pytest
+
+from neurondb_tpu.index import FlatIndex
+from neurondb_tpu.ml import metrics as M
+from neurondb_tpu.search import bm25 as B
+from neurondb_tpu.search import hybrid as H
+from neurondb_tpu.search import rerank as R
+from neurondb_tpu.search.rag import RAGPipeline, chunk_text
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "postgres is a relational database system",
+    "vector search finds nearest neighbors quickly",
+    "the fox is quick and brown",
+    "tpu accelerators run matrix multiplications",
+    "databases store structured data in tables",
+]
+
+
+@pytest.fixture(scope="module")
+def bm25():
+    return B.BM25Index(DOCS)
+
+
+def test_bm25_basic(bm25):
+    scores, ids = bm25.search("quick brown fox", k=3)
+    assert ids[0] in (0, 3)
+    assert scores[0] >= scores[1] >= scores[2]
+    assert bm25.scores("quick fox")[1] == 0.0  # doc 1 has no query terms
+
+
+def test_bm25_idf_prefers_rare(bm25):
+    # 'tpu' appears once -> doc 4 must win for a tpu query
+    _, ids = bm25.search("tpu", k=1)
+    assert ids[0] == 4
+
+
+def test_tokenizer():
+    toks = B.tokenize("The Databases, databases! RUNNING runs")
+    assert "the" not in toks
+    assert len(set(toks)) <= 3  # database(s) and run forms collapse
+
+
+@pytest.fixture(scope="module")
+def embedded(rng):
+    # embed docs as random vectors, with doc 2 and the query aligned
+    vecs = rng.standard_normal((len(DOCS), 16)).astype(np.float32)
+    return vecs
+
+
+def test_hybrid_search(embedded, bm25):
+    idx = FlatIndex(embedded, metric="cosine")
+    qv = embedded[2] + 0.01
+    scores, ids = H.hybrid_search(idx, bm25, qv, "vector search neighbors",
+                                  k=3, weight=0.5)
+    assert ids[0] == 2  # wins on both components
+    # pure-text weight: doc with matching text dominates
+    s2, ids2 = H.hybrid_search(idx, bm25, qv, "lazy dog", k=3, weight=0.0)
+    assert ids2[0] in (0, 3)
+
+
+def test_hybrid_filter(embedded, bm25):
+    idx = FlatIndex(embedded, metric="cosine")
+    qv = embedded[2]
+    _, ids = H.hybrid_search(idx, bm25, qv, "vector search", k=3,
+                             filter_fn=lambda i: i != 2)
+    assert 2 not in ids
+
+
+def test_rrf():
+    a = np.array([1, 2, 3, 4])
+    b = np.array([3, 1, 5, 6])
+    scores, ids = H.reciprocal_rank_fusion([a, b], k=3)
+    assert ids[0] == 1  # rank 1 + rank 2
+    assert 3 in ids[:3]
+    assert scores[0] > scores[1]
+
+
+def test_mmr_diversity(rng):
+    # two tight pairs; MMR at low lambda must pick one from each pair
+    base = np.array([[1, 0], [0.99, 0.01], [0, 1], [0.01, 0.99]], np.float32)
+    q = np.array([0.7, 0.7], np.float32)
+    _, ids = H.mmr_diverse_search(q, base, np.arange(4), k=2, lambda_=0.3)
+    assert {int(ids[0]) // 2, int(ids[1]) // 2} == {0, 1}
+
+
+def test_temporal(embedded):
+    idx = FlatIndex(embedded, metric="cosine")
+    ts = np.full(len(DOCS), 1_000_000.0)
+    ts[2] = 0.0  # doc 2 is ancient
+    qv = embedded[2] + 0.01
+    s, ids = H.temporal_vector_search(idx, qv, ts, k=2, decay=0.5,
+                                      now=1_000_000.0)
+    assert ids[0] != 2  # decayed away despite vector match
+
+
+def test_faceted(embedded):
+    idx = FlatIndex(embedded, metric="cosine")
+    facets = {i: {"lang": "en" if i % 2 == 0 else "de"} for i in range(len(DOCS))}
+    qv = embedded[3]
+    _, ids = H.faceted_vector_search(idx, qv, facets, {"lang": "en"}, k=3)
+    assert all(i % 2 == 0 for i in ids)
+
+
+def test_multi_vector(embedded):
+    idx = FlatIndex(embedded, metric="cosine")
+    _, ids = H.multi_vector_search(idx, embedded[[1, 4]], k=2)
+    assert set(ids[:2]) == {1, 4}
+
+
+# ---- rerankers ----
+
+def test_rerank_ltr():
+    feats = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], np.float32)
+    scores, order = R.rerank_ltr(feats, np.array([1.0, 2.0], np.float32))
+    assert order[0] == 2
+    w = R.train_ltr(feats, np.array([1.0, 2.0, 3.0], np.float32))
+    s2, o2 = R.rerank_ltr(feats, w)
+    assert o2[0] == 2
+
+
+def test_rerank_colbert():
+    qt = np.array([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    doc_good = np.array([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]], np.float32)
+    doc_bad = np.array([[-1.0, 0.0], [0.0, -1.0]], np.float32)
+    scores, order = R.rerank_colbert(qt, [doc_bad, doc_good])
+    assert order[0] == 1
+
+
+def test_rerank_ensemble_weighted():
+    r1 = (np.array([0.9, 0.5]), np.array([10, 20]))
+    r2 = (np.array([0.8, 0.7]), np.array([20, 30]))
+    scores, ids = R.rerank_ensemble([r1, r2], k=3)
+    assert set(ids) == {10, 20, 30}
+    assert ids[-1] == 30  # weakest: zeroed by min-max in r2, absent in r1
+
+
+def test_rerank_ensemble_borda():
+    r1 = (np.array([3.0, 2.0, 1.0]), np.array([1, 2, 3]))
+    r2 = (np.array([3.0, 2.0, 1.0]), np.array([2, 1, 3]))
+    _, ids = R.rerank_ensemble([r1, r2], method="borda", k=3)
+    assert set(ids[:2]) == {1, 2}
+
+
+def test_rerank_cross_encoder_api():
+    def scorer(q, docs):
+        return np.array([float(len(set(q.split()) & set(d.split())))
+                         for d in docs])
+    scores, order = R.rerank_cross_encoder("quick fox", DOCS, scorer, k=2)
+    assert order[0] in (0, 3)
+
+
+# ---- RAG ----
+
+def test_chunk_text():
+    text = "abcdefghij" * 100
+    chunks = chunk_text(text, chunk_size=100, overlap=10)
+    assert all(len(c) <= 100 for c in chunks)
+    assert sum(len(c) for c in chunks) >= len(text)
+    s = chunk_text("One. Two. Three. Four.", chunk_size=12, by="sentences")
+    assert len(s) >= 2
+
+
+def test_rag_pipeline(rng):
+    # deterministic bag-of-words hash embedding
+    def embed(texts):
+        out = np.zeros((len(texts), 32), np.float32)
+        for i, t in enumerate(texts):
+            for tok in B.tokenize(t):
+                out[i, hash(tok) % 32] += 1.0
+        return out
+
+    rag = RAGPipeline(embed=embed, chunk_size=200)
+    rag.add_documents(DOCS)
+    res = rag.retrieve("vector nearest neighbor search", k=2)
+    assert res[0]["doc_id"] == 2
+    ctx = rag.context("tpu matrix", k=1)
+    assert "tpu" in ctx
+
+
+# ---- metrics ----
+
+def test_metrics():
+    got = np.array([[1, 2, 3], [4, 5, 6]])
+    want = np.array([[1, 2, 9], [4, 5, 6]])
+    assert M.recall_at_k(got, want) == pytest.approx(5 / 6)
+    assert M.precision_at_k(got, [{1, 2}, {6}], k=3) == pytest.approx(3 / 6)
+    assert M.mean_reciprocal_rank(got, np.array([2, 6])) == pytest.approx(
+        (1 / 2 + 1 / 3) / 2)
+    ndcg = M.ndcg_at_k(got, [{1: 1.0}, {6: 1.0}], k=3)
+    assert 0 < ndcg <= 1
