@@ -22,6 +22,9 @@ behavior-parity auditable; no reference code is reused.
 
 from neurondb_tpu.version import __version__
 from neurondb_tpu.config import NDBConfig, get_config, set_config, configure
+from neurondb_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
 
 from neurondb_tpu.ops import distance  # noqa: F401
 from neurondb_tpu.ops.distance import (  # noqa: F401

@@ -428,11 +428,20 @@ class HNSWIndex(BaseIndex):
         # into a star: wave-1 nodes all link only to the seed and most of
         # the corpus becomes unreachable.) Entry promotion runs between
         # waves so later waves see the tallest routing tower so far.
+        # Wave sizes are powers of two so the per-wave jitted kernels see a
+        # bounded set of shapes: first compile on this backend costs tens of
+        # seconds, so shape churn would dominate the build. A remainder is
+        # split into already-seen power-of-two chunks.
         linked = self.n - m + offset
         s = offset
         while s < m:
             w = max(16, min(self._wave, linked))
-            e = min(s + w, m)
+            w = 1 << (w.bit_length() - 1)                 # floor pow2
+            remaining = m - s
+            if remaining < w:
+                w = min(w, 1 << max(remaining.bit_length() - 1, 4))
+                w = min(w, remaining)
+            e = s + w
             self._insert_wave(rows[s:e], levels[s:e], upper_rows)
             linked += e - s
             wbest = int(levels[s:e].argmax())
@@ -444,9 +453,20 @@ class HNSWIndex(BaseIndex):
 
     def _insert_wave(self, rows: np.ndarray, levels: np.ndarray,
                      upper_rows: Dict[int, Dict[int, int]]) -> None:
-        W = len(rows)
-        if W == 0:
+        W_real = len(rows)
+        if W_real == 0:
             return
+        # Pad every wave to one fixed compile shape: first compilation on
+        # this backend costs tens of seconds per kernel, so per-wave shape
+        # churn (the geometric growth ladder) would dominate build time.
+        # Pad rows repeat the last real row; their search results are
+        # discarded before linking.
+        W = max(16, self._wave)
+        if W_real < W:
+            rows = np.concatenate(
+                [rows, np.full(W - W_real, rows[-1], rows.dtype)])
+            levels = np.concatenate(
+                [levels, np.zeros(W - W_real, levels.dtype)])
         q = self._vecs[jnp.asarray(rows)]
         efc = self.ef_construction
         node_top = int(levels.max())
@@ -519,10 +539,11 @@ class HNSWIndex(BaseIndex):
         cand0 = bi0 if within is None else jnp.concatenate([bi0, within], axis=1)
         sel0 = np.asarray(self._select(q, cand0, self.m))      # global rows
 
-        # --- apply links ---
-        self._link_level0(rows, sel0)
+        # --- apply links (drop pad rows) ---
+        rows_r, levels_r = rows[:W_real], levels[:W_real]
+        self._link_level0(rows_r, sel0[:W_real])
         for l, sel in sel_np.items():
-            self._link_upper(l, rows, levels, sel, upper_rows[l])
+            self._link_upper(l, rows_r, levels_r, sel[:W_real], upper_rows[l])
 
     def _select(self, q: jax.Array, beam_rows: jax.Array, cap: int,
                 upper: Optional[Dict[str, Any]] = None) -> jax.Array:
@@ -547,10 +568,16 @@ class HNSWIndex(BaseIndex):
     def _link_level0(self, rows: np.ndarray, sel: np.ndarray) -> None:
         cap = 2 * self.m
         m = self.m
-        # new nodes' own lists: closest-m (pad to cap)
+        # new nodes' own lists: selected-m (pad to cap); scatter padded to
+        # a power of two (repeat-last) for shape stability
         own = np.full((len(rows), cap), -1, np.int32)
         own[:, :m] = sel
-        self._nbr0 = self._nbr0.at[jnp.asarray(rows)].set(jnp.asarray(own))
+        pad = max(16, self._wave) - len(rows)
+        rows_p = np.concatenate([rows, np.full(pad, rows[-1], rows.dtype)]) \
+            if pad else rows
+        own_p = np.concatenate([own, np.repeat(own[-1:], pad, axis=0)]) \
+            if pad else own
+        self._nbr0 = self._nbr0.at[jnp.asarray(rows_p)].set(jnp.asarray(own_p))
         # reverse edges grouped by target
         self._apply_reverse(rows, sel, level=0)
 
@@ -565,7 +592,18 @@ class HNSWIndex(BaseIndex):
         wloc = np.asarray([local_of[int(r)] for r in wrows], np.int32)
         own = np.full((len(wloc), self.m), -1, np.int32)
         own[:, : self.m] = wsel[:, : self.m]
-        u["nbr"] = u["nbr"].at[jnp.asarray(wloc)].set(jnp.asarray(own))
+        # pad the scatter up a power-of-4 ladder (repeat-last; duplicate
+        # rows write identical values) to bound recompiles
+        vp = 16
+        while vp < len(wloc):
+            vp *= 4
+        pad = vp - len(wloc)
+        if pad:
+            wloc_p = np.concatenate([wloc, np.full(pad, wloc[-1], np.int32)])
+            own_p = np.concatenate([own, np.repeat(own[-1:], pad, axis=0)])
+        else:
+            wloc_p, own_p = wloc, own
+        u["nbr"] = u["nbr"].at[jnp.asarray(wloc_p)].set(jnp.asarray(own_p))
         self._apply_reverse(wloc, wsel, level=l)
 
     def _apply_reverse(self, src_rows: np.ndarray, sel: np.ndarray,
@@ -588,10 +626,25 @@ class HNSWIndex(BaseIndex):
         ev, eu = ev[order], eu[order]
         uniq, starts = np.unique(ev, return_index=True)
         groups = np.split(eu, starts[1:])
-        maxnew = max(len(g) for g in groups)
-        newmat = np.full((len(uniq), maxnew), -1, np.int32)
+        # Shape stability: a fresh XLA compile costs tens of seconds on this
+        # backend, so the prune kernel must see a tiny set of shapes. New-
+        # edge columns are FIXED at 2*cap (groups beyond that drop the
+        # overflow — such targets already have full lists and the heuristic
+        # would prune most of the surplus anyway); the target-row count is
+        # padded up a power-of-4 ladder. Padded rows repeat the last real
+        # target; the duplicate scatter writes identical values.
+        maxnew = 2 * cap
+        vreal = len(uniq)
+        vpad = 256
+        while vpad < vreal:
+            vpad *= 4
+        newmat = np.full((vpad, maxnew), -1, np.int32)
         for i, g in enumerate(groups):
-            newmat[i, : len(g)] = g
+            newmat[i, : min(len(g), maxnew)] = g[:maxnew]
+        if vpad > vreal:
+            newmat[vreal:] = newmat[vreal - 1]
+            uniq = np.concatenate(
+                [uniq, np.full(vpad - vreal, uniq[-1], uniq.dtype)])
 
         nbr = self._nbr0 if level == 0 else self._upper[level - 1]["nbr"]
         uq = jnp.asarray(uniq.astype(np.int32))
@@ -644,9 +697,15 @@ class HNSWIndex(BaseIndex):
         outs_d, outs_i = [], []
         for s in range(0, q.shape[0], batch):
             qb = q[s:s + batch]
+            nb = qb.shape[0]
+            # pad the batch to a power of two to bound compile shapes
+            npad = 1 << max((nb - 1).bit_length(), 3)
+            if npad > nb:
+                qb = jnp.concatenate(
+                    [qb, jnp.repeat(qb[-1:], npad - nb, axis=0)])
             bd, bi = self._search_batch(qb, ef, steps)
-            outs_d.append(bd[:, :k])
-            outs_i.append(bi[:, :k])
+            outs_d.append(bd[:nb, :k])
+            outs_i.append(bi[:nb, :k])
         dists = np.concatenate(outs_d) if len(outs_d) > 1 else np.asarray(outs_d[0])
         rows = np.concatenate(outs_i) if len(outs_i) > 1 else np.asarray(outs_i[0])
         dists = self._postprocess_dist(np.asarray(dists))

@@ -88,3 +88,174 @@ register_algorithm(Trainer(
     "logistic_regression", _logreg_train,
     LIN.logistic_predict,
     lambda m, X, y: LIN.classification_metrics(m, X, y)))
+
+
+# ---- gmm / pca / dbscan / hierarchical ----
+
+from neurondb_tpu.ml import cluster_extra as CE
+from neurondb_tpu.ml import gmm as GMM
+from neurondb_tpu.ml import neighbors as NB
+from neurondb_tpu.ml import pca as PCA
+from neurondb_tpu.ml import trees as TR
+
+
+def _gmm_train(X, *, k: int = 4, iters: int = 100, seed: int = 0):
+    s = GMM.gmm_fit(X, k, iters=iters, seed=seed)
+    return {"means": s.means, "variances": s.variances,
+            "weights": s.weights, "log_likelihood": s.log_likelihood}
+
+
+def _gmm_state(m):
+    return GMM.GMMState(m["means"], m["variances"], m["weights"],
+                        m["log_likelihood"])
+
+
+register_algorithm(Trainer(
+    "gmm", _gmm_train,
+    lambda m, X: GMM.gmm_predict(_gmm_state(m), X),
+    lambda m, X, y=None: {"log_likelihood": m["log_likelihood"]},
+    task="unsupervised"))
+
+register_algorithm(Trainer(
+    "pca",
+    lambda X, *, n_components=2, whiten=False: PCA.pca_fit(
+        X, n_components, whiten=whiten),
+    PCA.pca_transform,
+    lambda m, X, y=None: {
+        "explained_variance_ratio_sum":
+            float(jnp.sum(m["explained_variance_ratio"]))},
+    task="unsupervised"))
+
+register_algorithm(Trainer(
+    "dbscan",
+    lambda X, **hp: CE.dbscan_fit(X, **hp),
+    CE.dbscan_predict,
+    None, task="unsupervised"))
+
+register_algorithm(Trainer(
+    "hierarchical",
+    lambda X, *, n_clusters=2: CE.agglomerative_fit(X, n_clusters),
+    lambda m, X: KM.kmeans_predict(
+        m["centroids"][m["active"]] if hasattr(m["active"], "shape")
+        else m["centroids"], X),
+    None, task="unsupervised"))
+
+
+# ---- knn / naive bayes / svm ----
+
+register_algorithm(Trainer(
+    "knn_classifier",
+    lambda X, y, *, k=5: NB.knn_fit(X, y, k=k, task="classify"),
+    NB.knn_predict,
+    lambda m, X, y: LIN.classification_metrics(m, X, y, NB.knn_predict)))
+
+def _knn_reg_eval(m, X, y):
+    pred = NB.knn_predict(m, X)
+    yv = jnp.asarray(y, jnp.float32)
+    mse = jnp.mean((pred - yv) ** 2)
+    return {"mse": mse, "r2": 1.0 - mse / jnp.maximum(jnp.var(yv), 1e-30)}
+
+
+register_algorithm(Trainer(
+    "knn_regressor",
+    lambda X, y, *, k=5: NB.knn_fit(X, y, k=k, task="regress"),
+    NB.knn_predict, _knn_reg_eval))
+
+
+def _nb_train(X, y, *, num_classes=None, var_smoothing=1e-9):
+    nc = int(num_classes if num_classes is not None
+             else int(jnp.max(jnp.asarray(y))) + 1)
+    return NB.naive_bayes_fit(X, y, num_classes=nc,
+                              var_smoothing=var_smoothing)
+
+
+register_algorithm(Trainer(
+    "naive_bayes", _nb_train,
+    NB.naive_bayes_predict,
+    lambda m, X, y: LIN.classification_metrics(m, X, y,
+                                               NB.naive_bayes_predict)))
+
+
+def _svm_train(X, y, *, num_classes=None, C=1.0, iters=300, kernel="linear",
+               gamma=1.0, rff=256, seed=0):
+    nc = int(num_classes if num_classes is not None
+             else int(jnp.max(jnp.asarray(y))) + 1)
+    if kernel == "rbf":
+        Xf = NB.rbf_features(X, n_features=rff, gamma=gamma, seed=seed)
+        m = NB.svm_fit(Xf, y, num_classes=max(nc, 2), C=C, iters=iters)
+        m["rbf"] = {"gamma": jnp.asarray(gamma), "rff": jnp.asarray(rff),
+                    "seed": jnp.asarray(seed)}
+        return m
+    return NB.svm_fit(X, y, num_classes=max(nc, 2), C=C, iters=iters)
+
+
+def _svm_predict(m, X):
+    if "rbf" in m:
+        X = NB.rbf_features(X, n_features=int(m["rbf"]["rff"]),
+                            gamma=float(m["rbf"]["gamma"]),
+                            seed=int(m["rbf"]["seed"]))
+    return NB.svm_predict(m, X)
+
+
+register_algorithm(Trainer(
+    "svm", _svm_train, _svm_predict,
+    lambda m, X, y: LIN.classification_metrics(m, X, y, _svm_predict)))
+
+
+# ---- trees ----
+
+def _tree_eval(m, X, y):
+    pred = TR.ensemble_predict(m, X)
+    if bool(m["task_classify"]):
+        acc = jnp.mean((pred == jnp.asarray(y, jnp.int32)).astype(jnp.float32))
+        return {"accuracy": acc}
+    yv = jnp.asarray(y, jnp.float32)
+    mse = jnp.mean((pred - yv) ** 2)
+    return {"mse": mse, "r2": 1.0 - mse / jnp.maximum(jnp.var(yv), 1e-30)}
+
+
+register_algorithm(Trainer(
+    "decision_tree",
+    lambda X, y, **hp: TR.decision_tree_fit(X, y, **hp),
+    TR.ensemble_predict, _tree_eval))
+
+register_algorithm(Trainer(
+    "random_forest",
+    lambda X, y, **hp: TR.random_forest_fit(X, y, **hp),
+    TR.ensemble_predict, _tree_eval))
+
+register_algorithm(Trainer(
+    "gradient_boosting",
+    lambda X, y, **hp: TR.gradient_boosting_fit(X, y, **hp),
+    TR.ensemble_predict, _tree_eval))
+
+
+# ---- anomaly detection ----
+
+def _anomaly_train(X, *, method="knn", k=5, threshold=3.0, contamination=0.1):
+    X = jnp.asarray(X, jnp.float32)
+    if method == "zscore":
+        scores = None
+        model = {"method": "zscore", "mean": jnp.mean(X, 0),
+                 "std": jnp.std(X, 0), "threshold": jnp.asarray(threshold)}
+        return model
+    scores = CE.knn_outlier_scores(X, k=k)
+    cut = jnp.quantile(scores, 1.0 - contamination)
+    return {"method": "knn", "X": X, "k": jnp.asarray(k),
+            "cutoff": cut}
+
+
+def _anomaly_predict(m, X):
+    X = jnp.asarray(X, jnp.float32)
+    if m["method"] == "zscore":
+        z = jnp.abs(X - m["mean"]) / jnp.maximum(m["std"], 1e-12)
+        return jnp.any(z > m["threshold"], axis=1)
+    from neurondb_tpu.ops import topk as TK
+    d, _ = TK.chunked_knn(X, m["X"], int(m["k"]), metric="l2",
+                          chunk=min(m["X"].shape[0], 65536))
+    return jnp.mean(d, axis=1) > m["cutoff"]
+
+
+register_algorithm(Trainer(
+    "anomaly_detection", _anomaly_train, _anomaly_predict,
+    None, task="unsupervised"))

@@ -1,0 +1,31 @@
+"""Runtime setup helpers.
+
+On this TPU backend a single kernel compilation can cost minutes (the
+batched beam-search kernel measured 279s cold, 1.04s warm), so the
+persistent XLA compilation cache is load-bearing: it amortizes compiles
+across processes (driver compile-checks, benchmarks, services). Enabled
+at import of neurondb_tpu; opt out with NEURONDB_TPU_COMPCACHE=0.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable_compilation_cache() -> None:
+    global _done
+    if _done or os.environ.get("NEURONDB_TPU_COMPCACHE", "1") == "0":
+        return
+    _done = True
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "NEURONDB_TPU_COMPCACHE_DIR",
+            os.path.expanduser("~/.cache/neurondb_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
