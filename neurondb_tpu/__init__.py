@@ -40,7 +40,12 @@ from neurondb_tpu.ops.distance import (  # noqa: F401
     pairwise_distance,
 )
 from neurondb_tpu.ops.topk import topk_smallest, merge_topk  # noqa: F401
-from neurondb_tpu.index import FlatIndex, IVFFlatIndex, HNSWIndex  # noqa: F401
+from neurondb_tpu.index import (  # noqa: F401
+    FlatIndex,
+    IVFFlatIndex,
+    HNSWIndex,
+    PQIndex,
+)
 from neurondb_tpu.store import VectorStore  # noqa: F401
 
 __all__ = [

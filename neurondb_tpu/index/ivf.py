@@ -104,6 +104,31 @@ def _ivf_search_device(
     return vals, ids
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "nprobe", "metric", "max_segs"))
+def _ivf_search_pallas(q, centroids, vecs, row_ids, offsets, counts, *,
+                       k: int, nprobe: int, metric: str, max_segs: int):
+    """TPU fast path: centroid GEMM coarse stage + fused Pallas probe scan
+    (contiguous DMA per (query, probe) — see ops/pallas/ivf_scan.py)."""
+    from neurondb_tpu.ops.pallas.ivf_scan import ivf_probe_scan
+    q_sq = jnp.sum(q * q, axis=1)
+    cd = D.pairwise_distance(
+        q, centroids, "sqeuclidean" if metric != "ip" else "ip")
+    _, probes = TK.topk_smallest(cd, nprobe)               # [B, nprobe]
+    poff = offsets[probes]
+    pcnt = counts[probes]
+    vals, rows = ivf_probe_scan(
+        q, q_sq, vecs, poff, pcnt, k=k, max_segs=max_segs,
+        metric="ip" if metric == "ip" else "sqeuclidean")
+    ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
+    if metric == "l2":
+        vals = jnp.sqrt(jnp.maximum(vals, 0.0))
+    elif metric == "cosine":
+        vals = vals * 0.5
+    vals = jnp.where(ids >= 0, vals, TK.NEG_FILL)
+    return vals, ids
+
+
 class IVFFlatIndex(BaseIndex):
     kind = "ivfflat"
 
@@ -152,7 +177,9 @@ class IVFFlatIndex(BaseIndex):
         np.cumsum(counts[:-1], out=offsets[1:])
         xo = x[order]
         n = x.shape[0]
-        npad = max(1, -(-n // SEGMENT) * SEGMENT)
+        # +SEGMENT: the Pallas scan kernel requires every per-list segment
+        # DMA to stay in bounds (ops/pallas/ivf_scan.py caller contract)
+        npad = max(1, -(-n // SEGMENT) * SEGMENT) + SEGMENT
         self._vecs = jnp.asarray(np.pad(xo, ((0, npad - n), (0, 0))))
         self._sqnorms = jnp.sum(self._vecs * self._vecs, axis=1)
         self._row_ids = jnp.asarray(np.pad(
@@ -198,11 +225,21 @@ class IVFFlatIndex(BaseIndex):
             qn = jnp.linalg.norm(q, axis=1, keepdims=True)
             q = q / jnp.maximum(qn, 1e-30)
         max_segs = max(1, -(-self.max_list // SEGMENT))
-        vals, rows = _ivf_search_device(
-            q, self.centroids, self._vecs, self._sqnorms, self._row_ids,
-            self._offsets, self._counts,
-            k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
-            max_segs=max_segs, segment=SEGMENT)
+        use_pallas = (cfg.use_pallas and cfg.compute_mode != "cpu"
+                      and jax.default_backend() == "tpu"
+                      and q.shape[1] % 128 == 0)
+        if use_pallas:
+            vals, rows = _ivf_search_pallas(
+                q, self.centroids, self._vecs, self._row_ids,
+                self._offsets, self._counts,
+                k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
+                max_segs=max_segs)
+        else:
+            vals, rows = _ivf_search_device(
+                q, self.centroids, self._vecs, self._sqnorms, self._row_ids,
+                self._offsets, self._counts,
+                k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
+                max_segs=max_segs, segment=SEGMENT)
         ids_arr = jnp.asarray(self._ids)
         ids = jnp.where(rows >= 0, ids_arr[jnp.maximum(rows, 0)], -1)
         vals, ids = np.asarray(vals), np.asarray(ids)

@@ -109,9 +109,18 @@ def kmeans_fit(x: jax.Array, k: int, *, max_iter: int = 50,
     return KMeansState(s.centroids, jnp.sum(d2), s.n_iter, s.shift)
 
 
-def kmeans_predict(centroids: jax.Array, x: jax.Array) -> jax.Array:
-    labels, _ = _assign(jnp.asarray(x, jnp.float32), centroids)
-    return labels
+def kmeans_predict(centroids: jax.Array, x: jax.Array,
+                   chunk: int = 131072) -> jax.Array:
+    """Nearest-centroid labels, chunked over rows so the [N, k] distance
+    block never exceeds ~chunk*k floats (1M x 1024 would be 4.3GB)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    if n <= chunk:
+        return _assign(x, centroids)[0]
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, chunk, x.shape[1])
+    labels = jax.lax.map(lambda xc: _assign(xc, centroids)[0], xp)
+    return labels.reshape(-1)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "batch", "iters"))

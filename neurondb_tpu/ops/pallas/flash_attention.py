@@ -1,0 +1,119 @@
+"""Flash attention (tiled online-softmax) — the long-context rerank kernel.
+
+Reference: NeuronDB/src/gpu/cuda/gpu_flash_attention.cu:34-51 — Flash
+Attention 2 for cross-encoder reranking of 8K+ token pairs, O(N) memory via
+tiled softmax(QK^T/sqrt(d))V. This is the TPU equivalent: one Pallas kernel
+per (batch*head, q-tile), looping KV tiles with running max/denominator in
+VMEM scratch so the [S, S] score matrix never materializes.
+
+jnp reference (`attention_reference`) is the oracle; `flash_attention`
+dispatches to the kernel on TPU and the oracle elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q_TILE = 128
+KV_TILE = 128
+NEG_INF = -1e30
+
+
+def attention_reference(q, k, v, mask=None, scale: Optional[float] = None):
+    """[B, H, S, Dh] full attention oracle."""
+    d = q.shape[-1]
+    s = scale if scale is not None else 1.0 / (d ** 0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * s
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, kv_tiles: int, scale: float):
+    qi = pl.program_id(1)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                        # [Q_TILE, Dh]
+    kt = k_ref[0]                                       # [KV_TILE, Dh]
+    vt = v_ref[0]
+    msk = mask_ref[0]                                   # [1, KV_TILE]
+    s = jnp.dot(q, kt.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.where(msk > 0, s, NEG_INF)                  # [Q_TILE, KV_TILE]
+
+    m_prev = m_scr[:]                                   # [Q_TILE, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p, vt, preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(pl.program_id(2) == kv_tiles - 1)
+    def _():
+        o_ref[0] = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(q, k, v, mask=None, *, interpret: bool = False):
+    """q,k,v [B, H, S, Dh]; mask [B, S] bool/int (True = attend). S padded
+    to tile multiples by the caller or here."""
+    B, H, S, Dh = q.shape
+    scale = 1.0 / (Dh ** 0.5)
+    if mask is None:
+        mask = jnp.ones((B, S), jnp.int32)
+    mask = mask.astype(jnp.int32)
+    pad_s = (-S) % max(Q_TILE, KV_TILE)
+    if pad_s:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_s)))
+    Sp = S + pad_s
+    bh = B * H
+    qf = q.reshape(bh, Sp, Dh)
+    kf = k.reshape(bh, Sp, Dh)
+    vf = v.reshape(bh, Sp, Dh)
+    maskf = jnp.repeat(mask[:, None, :], H, axis=1).reshape(bh, 1, Sp)
+    q_tiles = Sp // Q_TILE
+    kv_tiles = Sp // KV_TILE
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, kv_tiles=kv_tiles, scale=scale),
+        grid=(bh, q_tiles, kv_tiles),
+        in_specs=[
+            pl.BlockSpec((1, Q_TILE, Dh), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV_TILE, Dh), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV_TILE, Dh), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KV_TILE), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q_TILE, Dh), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, Sp, Dh), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((Q_TILE, 1), jnp.float32),
+            pltpu.VMEM((Q_TILE, 1), jnp.float32),
+            pltpu.VMEM((Q_TILE, Dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, maskf)
+    out = out.reshape(B, H, Sp, Dh)
+    return out[:, :, :S, :]

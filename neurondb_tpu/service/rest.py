@@ -1,0 +1,150 @@
+"""REST server — the NeuronAgent HTTP surface on stdlib http.server.
+
+Reference routes (NeuronAgent/cmd/agent-server/main.go:97-120):
+/api/v1/agents, /api/v1/sessions, /api/v1/sessions/<id>/messages, /health,
+/metrics (Prometheus text). Adds engine endpoints the Go server proxied
+through SQL: /api/v1/search (vector search over a registered collection).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from neurondb_tpu.service.agent import AgentRuntime, APIKeyAuth
+from neurondb_tpu.service.metrics import MetricsRegistry
+
+
+class RESTServer:
+    def __init__(self, runtime: Optional[AgentRuntime] = None,
+                 host: str = "127.0.0.1", port: int = 8080,
+                 auth: Optional[APIKeyAuth] = None,
+                 metrics: Optional[MetricsRegistry] = None):
+        self.runtime = runtime or AgentRuntime()
+        self.auth = auth or APIKeyAuth()
+        self.metrics = metrics or MetricsRegistry()
+        self.collections: Dict[str, Any] = {}   # name -> index with .search
+        self.collection_docs: Dict[str, list] = {}
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):          # silence
+                pass
+
+            def _send(self, code: int, obj: Any):
+                body = json.dumps(obj, default=str).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _authed(self) -> bool:
+                role = outer.auth.check(self.headers.get("X-API-Key"))
+                if role is None:
+                    self._send(401, {"error": "unauthorized"})
+                    return False
+                return True
+
+            def _body(self) -> Dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self):
+                outer.metrics.counter("http_requests_total").inc()
+                if self.path == "/health":
+                    return self._send(200, {"status": "ok"})
+                if self.path == "/metrics":
+                    text = outer.metrics.prometheus_text()
+                    body = text.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if not self._authed():
+                    return
+                if self.path == "/api/v1/agents":
+                    return self._send(200, [vars(a) for a in
+                                            outer.runtime.agents.values()])
+                m = re.fullmatch(r"/api/v1/sessions/([\w-]+)/messages",
+                                 self.path)
+                if m:
+                    msgs = outer.runtime.history(m.group(1))
+                    return self._send(200, [vars(x) for x in msgs])
+                self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                outer.metrics.counter("http_requests_total").inc()
+                if not self._authed():
+                    return
+                try:
+                    if self.path == "/api/v1/agents":
+                        b = self._body()
+                        a = outer.runtime.create_agent(
+                            b.get("name", "agent"),
+                            b.get("system_prompt", ""),
+                            b.get("tools"))
+                        return self._send(201, vars(a))
+                    if self.path == "/api/v1/sessions":
+                        b = self._body()
+                        s = outer.runtime.create_session(
+                            b["agent_id"], b.get("metadata"))
+                        return self._send(201, vars(s))
+                    m = re.fullmatch(r"/api/v1/sessions/([\w-]+)/messages",
+                                     self.path)
+                    if m:
+                        b = self._body()
+                        with outer.metrics.timer("agent_execute_seconds"):
+                            msg = outer.runtime.execute(
+                                m.group(1), b.get("content", ""))
+                        return self._send(200, vars(msg))
+                    if self.path == "/api/v1/search":
+                        b = self._body()
+                        name = b.get("collection", "default")
+                        idx = outer.collections.get(name)
+                        if idx is None:
+                            return self._send(404,
+                                              {"error": f"no collection "
+                                                        f"{name!r}"})
+                        q = np.asarray(b["vector"], np.float32)
+                        k = int(b.get("k", 10))
+                        with outer.metrics.timer("search_seconds"):
+                            d, ids = idx.search(q, k=k)
+                        return self._send(200, {
+                            "ids": np.asarray(ids).tolist(),
+                            "distances": np.asarray(d).tolist()})
+                    self._send(404, {"error": "not found"})
+                except KeyError as e:
+                    self._send(404, {"error": f"not found: {e}"})
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": str(e)})
+
+        self._handler = Handler
+        self.host = host
+        self.port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def add_collection(self, name: str, index) -> None:
+        self.collections[name] = index
+
+    def start(self) -> int:
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
