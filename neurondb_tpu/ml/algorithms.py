@@ -259,3 +259,60 @@ def _anomaly_predict(m, X):
 register_algorithm(Trainer(
     "anomaly_detection", _anomaly_train, _anomaly_predict,
     None, task="unsupervised"))
+
+
+# ---- timeseries (series-as-X convention: X is the 1-D series) ----
+
+from neurondb_tpu.ml import timeseries as TS
+
+
+def _ts_train(X, *, order=4, method="ar", season=12):
+    y = jnp.asarray(X, jnp.float32).reshape(-1)
+    if method == "holt_winters":
+        m = TS.holt_winters_fit(y, season=season)
+        m["method"] = "holt_winters"
+    else:
+        m = TS.ar_fit(y, order=order)
+        m["method"] = "ar"
+        m["tail"] = y[-order:]
+    return m
+
+
+def _ts_predict(m, X):
+    steps = int(jnp.asarray(X).reshape(-1)[0]) if jnp.asarray(X).size else 8
+    if m["method"] == "holt_winters":
+        return TS.holt_winters_forecast(m, steps=steps)
+    return TS.ar_forecast(m, m["tail"], steps=steps)
+
+
+register_algorithm(Trainer(
+    "timeseries", _ts_train, _ts_predict, None, task="unsupervised"))
+
+
+# ---- recommender (X = [user, item, rating] triples) ----
+
+from neurondb_tpu.ml import recommender as RC
+
+
+def _rec_train(X, *, factors=16, iters=10, l2=0.1, seed=0):
+    import numpy as _np
+    t = _np.asarray(X, _np.float32)
+    users = t[:, 0].astype(int)
+    items = t[:, 1].astype(int)
+    U, I = users.max() + 1, items.max() + 1
+    R = _np.zeros((U, I), _np.float32)
+    M = _np.zeros((U, I), _np.float32)
+    R[users, items] = t[:, 2]
+    M[users, items] = 1.0
+    return RC.als_fit(R, M, factors=factors, iters=iters, l2=l2, seed=seed)
+
+
+def _rec_predict(m, X):
+    import numpy as _np
+    t = _np.asarray(X)
+    pred = _np.asarray(RC.predict_ratings(m))
+    return pred[t[:, 0].astype(int), t[:, 1].astype(int)]
+
+
+register_algorithm(Trainer(
+    "recommender", _rec_train, _rec_predict, None, task="unsupervised"))

@@ -1,0 +1,158 @@
+"""ctypes bindings for the native runtime helpers (libndbnative.so).
+
+Auto-builds via `make` on first import when a compiler is available;
+every entry point has a pure-Python fallback so the package works without
+the native library.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libndbnative.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _HERE], capture_output=True,
+                           timeout=120, check=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.vecs_info.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_int64),
+                              ctypes.POINTER(ctypes.c_int32)]
+    lib.vecs_info.restype = ctypes.c_int
+    lib.vecs_read.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_float),
+                              ctypes.c_int64, ctypes.c_int32]
+    lib.vecs_read.restype = ctypes.c_int64
+    lib.ivecs_read_ids.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.c_int64, ctypes.c_int32]
+    lib.ivecs_read_ids.restype = ctypes.c_int64
+    lib.tokenize_corpus.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.tokenize_corpus.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_KIND = {"fvecs": 0, "bvecs": 1, "ivecs": 2}
+_ELEM = {"fvecs": 4, "bvecs": 1, "ivecs": 4}
+
+
+def read_vecs(path: str, kind: str = "fvecs",
+              max_n: Optional[int] = None) -> np.ndarray:
+    """Read a .fvecs/.bvecs/.ivecs file -> float32 [n, d]."""
+    lib = _load()
+    if lib is None:
+        return _read_vecs_py(path, kind, max_n)
+    n = ctypes.c_int64()
+    d = ctypes.c_int32()
+    rc = lib.vecs_info(path.encode(), _ELEM[kind], ctypes.byref(n),
+                       ctypes.byref(d))
+    if rc != 0:
+        raise IOError(f"vecs_info({path}) failed: {rc}")
+    count = n.value if max_n is None else min(n.value, max_n)
+    out = np.empty((count, d.value), np.float32)
+    got = lib.vecs_read(path.encode(), _KIND[kind],
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        count, d.value)
+    if got < 0:
+        raise IOError(f"vecs_read({path}) failed: {got}")
+    return out[:got]
+
+
+def read_ground_truth(path: str, max_n: Optional[int] = None) -> np.ndarray:
+    """Read .ivecs ground-truth neighbor ids -> int32 [n, k]."""
+    lib = _load()
+    if lib is None:
+        return _read_vecs_py(path, "ivecs", max_n).astype(np.int32)
+    n = ctypes.c_int64()
+    d = ctypes.c_int32()
+    rc = lib.vecs_info(path.encode(), 4, ctypes.byref(n), ctypes.byref(d))
+    if rc != 0:
+        raise IOError(f"vecs_info({path}) failed: {rc}")
+    count = n.value if max_n is None else min(n.value, max_n)
+    out = np.empty((count, d.value), np.int32)
+    got = lib.ivecs_read_ids(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        count, d.value)
+    if got < 0:
+        raise IOError(f"ivecs_read_ids({path}) failed: {got}")
+    return out[:got]
+
+
+def tokenize_corpus(docs) -> Tuple[np.ndarray, np.ndarray]:
+    """Tokenize documents -> (doc_ids int32 [T], token_hashes uint64 [T]).
+    Native FNV-1a on [a-z0-9]+ runs; Python fallback matches semantics."""
+    lib = _load()
+    if lib is None:
+        return _tokenize_py(docs)
+    blobs = [d.encode("utf-8", "ignore") for d in docs]
+    text = b"".join(blobs)
+    offs = np.zeros(len(docs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offs[1:])
+    offs_p = offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    n_tok = lib.tokenize_corpus(text, offs_p, len(docs), 48, None, None)
+    out_docs = np.empty(n_tok, np.int32)
+    out_hash = np.empty(n_tok, np.uint64)
+    lib.tokenize_corpus(
+        text, offs_p, len(docs), 48,
+        out_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out_docs, out_hash
+
+
+# ---- pure-Python fallbacks ----
+
+def _read_vecs_py(path: str, kind: str, max_n: Optional[int]) -> np.ndarray:
+    dt = {"fvecs": np.float32, "bvecs": np.uint8, "ivecs": np.int32}[kind]
+    raw = np.fromfile(path, np.uint8)
+    d = int(np.frombuffer(raw[:4].tobytes(), np.int32)[0])
+    rec = 4 + d * np.dtype(dt).itemsize
+    n = len(raw) // rec
+    if max_n is not None:
+        n = min(n, max_n)
+    rows = raw[: n * rec].reshape(n, rec)[:, 4:]
+    return np.frombuffer(rows.tobytes(), dt).reshape(n, d).astype(np.float32)
+
+
+def _fnv1a(s: bytes) -> int:
+    h = 1469598103934665603
+    for b in s:
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _tokenize_py(docs) -> Tuple[np.ndarray, np.ndarray]:
+    import re
+    pat = re.compile(rb"[a-z0-9]+")
+    out_d, out_h = [], []
+    for i, doc in enumerate(docs):
+        for m in pat.finditer(doc.lower().encode("utf-8", "ignore")):
+            out_d.append(i)
+            out_h.append(_fnv1a(m.group(0)[:48]))
+    return (np.asarray(out_d, np.int32),
+            np.asarray(out_h, np.uint64))

@@ -48,16 +48,35 @@ def _light_stem(t: str) -> str:
 
 
 class BM25Index:
-    """Okapi BM25 inverted index over a document corpus."""
+    """Okapi BM25 inverted index over a document corpus.
+
+    Large corpora build through the native C++ tokenizer + vectorized
+    postings construction (neurondb_tpu.native); small corpora keep the
+    richer Python tokenizer (stopwords + stemming).
+    """
+
+    NATIVE_THRESHOLD = 5000  # docs
 
     def __init__(self, docs: Sequence[str], *, k1: float = 1.2,
-                 b: float = 0.75, ids: Optional[Sequence[int]] = None):
+                 b: float = 0.75, ids: Optional[Sequence[int]] = None,
+                 use_native: Optional[bool] = None):
         self.k1 = k1
         self.b = b
         self.n_docs = len(docs)
         self.ids = np.asarray(ids if ids is not None else range(len(docs)),
                               np.int64)
         self._vocab: Dict[str, int] = {}
+        self._hash_vocab: Optional[Dict[int, int]] = None
+        if use_native is None:
+            use_native = len(docs) >= self.NATIVE_THRESHOLD
+        if use_native:
+            from neurondb_tpu import native
+            if native.available():
+                self._build_native(docs)
+                return
+        self._build_python(docs)
+
+    def _build_python(self, docs: Sequence[str]) -> None:
         doc_terms: List[Counter] = []
         lengths = np.zeros(len(docs), np.float32)
         for i, doc in enumerate(docs):
@@ -89,16 +108,56 @@ class BM25Index:
                 self._post_tf[cursor[ti]] = tf
                 cursor[ti] += 1
         self._offsets = offsets
-        # BM25+-style idf, floored at 0 like Lucene
+        self._finish_idf()
+
+    def _build_native(self, docs: Sequence[str]) -> None:
+        """Vectorized postings from the native (doc_id, hash) stream."""
+        from neurondb_tpu import native
+        doc_ids, hashes = native.tokenize_corpus(list(docs))
+        self.doc_len = np.bincount(doc_ids, minlength=self.n_docs
+                                   ).astype(np.float32)
+        self.avg_len = float(self.doc_len.mean()) if self.n_docs else 0.0
+        # unique (hash, doc) pairs -> term frequencies
+        uniq_h, term_of = np.unique(hashes, return_inverse=True)
+        self._hash_vocab = {int(h): i for i, h in enumerate(uniq_h)}
+        key = term_of.astype(np.int64) * self.n_docs + doc_ids
+        uk, tf = np.unique(key, return_counts=True)
+        post_term = (uk // self.n_docs).astype(np.int64)
+        self._post_doc = (uk % self.n_docs).astype(np.int32)
+        self._post_tf = tf.astype(np.float32)
+        nv = len(uniq_h)
+        counts = np.bincount(post_term, minlength=nv)
+        self.df = counts.astype(np.float32)
+        offsets = np.zeros(nv + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        self._offsets = offsets   # post arrays already term-sorted by key
+        self._finish_idf()
+
+    def _finish_idf(self) -> None:
         self.idf = np.maximum(
-            np.log((self.n_docs - self.df + 0.5) / (self.df + 0.5) + 1.0), 0.0)
+            np.log((self.n_docs - self.df + 0.5) / (self.df + 0.5) + 1.0),
+            0.0)
+
+    def _term_index(self, token: str) -> Optional[int]:
+        if self._hash_vocab is not None:
+            from neurondb_tpu.native import _fnv1a
+            import re as _re
+            toks = _re.findall(r"[a-z0-9]+", token.lower())
+            if not toks:
+                return None
+            return self._hash_vocab.get(_fnv1a(toks[0].encode()[:48]))
+        return self._vocab.get(token)
 
     def scores(self, query: str) -> np.ndarray:
         """Dense [n_docs] BM25 scores (term-at-a-time accumulation)."""
         out = np.zeros(self.n_docs, np.float32)
         norm = 1.0 - self.b + self.b * self.doc_len / max(self.avg_len, 1e-9)
-        for t in tokenize(query):
-            ti = self._vocab.get(t)
+        if self._hash_vocab is not None:
+            q_terms = _TOKEN.findall(query.lower())
+        else:
+            q_terms = tokenize(query)
+        for t in q_terms:
+            ti = self._term_index(t)
             if ti is None:
                 continue
             s, e = self._offsets[ti], self._offsets[ti + 1]
