@@ -60,7 +60,20 @@ def main():
     q = x[rng.choice(n, nq, replace=False)] + \
         0.05 * rng.standard_normal((nq, d)).astype(np.float32)
 
-    # exact ground truth on device
+    # Build + warm the fused kernel FIRST: the Mosaic remote compile on
+    # this backend is only reliable early in a clean process, before the
+    # heavy XLA programs (ground-truth scan) have run. Compiled kernels
+    # land in the persistent cache, so subsequent work is safe.
+    batch = 1024
+    t0 = time.time()
+    index = IVFFlatIndex(x, nlists=nlists, metric="l2", seed=0)
+    jax.block_until_ready(index._vecs)
+    build_s = time.time() - t0
+    qpad_warm = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
+    index.search(qpad_warm, k=k, nprobe=1)      # compiles the pallas kernel
+
+    # exact ground truth on device; free the device copy afterwards so the
+    # index + kernel have full HBM headroom
     xj = jnp.asarray(x)
     gt_ids = np.empty((nq, k), np.int64)
     t0 = time.time()
@@ -70,20 +83,23 @@ def main():
                                 chunk=131072)
         gt_ids[s:e] = np.asarray(ids)
     gt_s = time.time() - t0
+    del xj, ids
+    import gc
+    gc.collect()
 
-    t0 = time.time()
-    index = IVFFlatIndex(x, nlists=nlists, metric="l2", seed=0)
-    jax.block_until_ready(index._vecs)
-    build_s = time.time() - t0
+    # All searches use one batch shape (B=1024): on this backend each new
+    # kernel shape is a fresh, expensive (and flaky) compilation, and the
+    # engine buckets nprobe internally for the same reason.
+    qpad = qpad_warm
 
-    # nprobe sweep to hit recall >= 0.95
+    # nprobe sweep to hit recall >= 0.95 (nprobe<=16 shares one bucket)
     chosen = None
     probe_stats = []
-    for nprobe in (1, 2, 4, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+    for nprobe in (1, 2, 4, 8, 12, 16, 24, 48, 96):
         if nprobe > nlists:
             break
-        _, ids = index.search(q[:256], k=k, nprobe=nprobe)
-        r = recall_at_k(ids, gt_ids[:256])
+        _, ids = index.search(qpad, k=k, nprobe=nprobe)
+        r = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
         probe_stats.append((nprobe, round(r, 4)))
         if r >= 0.95:
             chosen = nprobe
@@ -92,10 +108,8 @@ def main():
         chosen = nlists
 
     # timed QPS at the chosen operating point
-    batch = 1024
     qbig = np.concatenate([q] * max(1, (8 * batch) // nq + 1))[: 8 * batch]
-    # warmup (compile)
-    index.search(qbig[:batch], k=k, nprobe=chosen)
+    index.search(qbig[:batch], k=k, nprobe=chosen)   # warmup
     t0 = time.time()
     done = 0
     for s in range(0, len(qbig), batch):
@@ -104,8 +118,8 @@ def main():
     wall = time.time() - t0
     qps = done / wall
 
-    _, ids = index.search(q, k=k, nprobe=chosen)
-    final_recall = recall_at_k(ids, gt_ids)
+    _, ids = index.search(qpad, k=k, nprobe=chosen)
+    final_recall = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
 
     print(json.dumps({
         "metric": "ivfflat_sift1m_qps_at_recall95",

@@ -105,11 +105,19 @@ def _ivf_search_device(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "nprobe", "metric", "max_segs"))
+                   static_argnames=("k", "nprobe", "metric", "max_segs",
+                                    "nprobe_pad"))
 def _ivf_search_pallas(q, centroids, vecs, row_ids, offsets, counts, *,
-                       k: int, nprobe: int, metric: str, max_segs: int):
+                       k: int, nprobe: int, metric: str, max_segs: int,
+                       nprobe_pad: int = 0):
     """TPU fast path: centroid GEMM coarse stage + fused Pallas probe scan
-    (contiguous DMA per (query, probe) — see ops/pallas/ivf_scan.py)."""
+    (contiguous DMA per (query, probe) — see ops/pallas/ivf_scan.py).
+
+    nprobe_pad > nprobe pads the probe list with empty (cnt=0) slots so
+    different nprobe settings share ONE kernel compilation — fresh Pallas
+    compiles are expensive and, on this backend, flaky after the first few
+    in a process; empty cells exit in microseconds.
+    """
     from neurondb_tpu.ops.pallas.ivf_scan import ivf_probe_scan
     q_sq = jnp.sum(q * q, axis=1)
     cd = D.pairwise_distance(
@@ -117,6 +125,10 @@ def _ivf_search_pallas(q, centroids, vecs, row_ids, offsets, counts, *,
     _, probes = TK.topk_smallest(cd, nprobe)               # [B, nprobe]
     poff = offsets[probes]
     pcnt = counts[probes]
+    if nprobe_pad > nprobe:
+        pad = nprobe_pad - nprobe
+        poff = jnp.pad(poff, ((0, 0), (0, pad)))
+        pcnt = jnp.pad(pcnt, ((0, 0), (0, pad)))   # cnt 0 = skipped cell
     vals, rows = ivf_probe_scan(
         q, q_sq, vecs, poff, pcnt, k=k, max_segs=max_segs,
         metric="ip" if metric == "ip" else "sqeuclidean")
@@ -229,11 +241,16 @@ class IVFFlatIndex(BaseIndex):
                       and jax.default_backend() == "tpu"
                       and q.shape[1] % 128 == 0)
         if use_pallas:
+            # bucket nprobe so sweeps reuse one kernel compilation
+            npad = 1
+            while npad < nprobe:
+                npad *= 4
+            npad = min(max(npad, 16), self.nlists)
             vals, rows = _ivf_search_pallas(
                 q, self.centroids, self._vecs, self._row_ids,
                 self._offsets, self._counts,
                 k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
-                max_segs=max_segs)
+                max_segs=max_segs, nprobe_pad=max(npad, nprobe))
         else:
             vals, rows = _ivf_search_device(
                 q, self.centroids, self._vecs, self._sqnorms, self._row_ids,

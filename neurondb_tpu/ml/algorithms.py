@@ -316,3 +316,52 @@ def _rec_predict(m, X):
 
 register_algorithm(Trainer(
     "recommender", _rec_train, _rec_predict, None, task="unsupervised"))
+
+
+# ---- neural network ----
+
+from neurondb_tpu.ml import neural as NN
+
+
+def _nn_eval(m, X, y):
+    pred = NN.mlp_predict(m, X)
+    if bool(m["classify"]):
+        return {"accuracy": jnp.mean(
+            (pred == jnp.asarray(y, jnp.int32)).astype(jnp.float32))}
+    yv = jnp.asarray(y, jnp.float32)
+    mse = jnp.mean((pred - yv) ** 2)
+    return {"mse": mse, "r2": 1.0 - mse / jnp.maximum(jnp.var(yv), 1e-30)}
+
+
+register_algorithm(Trainer(
+    "neural_network",
+    lambda X, y, **hp: NN.mlp_fit(X, y, **hp),
+    NN.mlp_predict, _nn_eval))
+
+_ALIASES_EXTRA = {"mlp": "neural_network", "deeplearning": "neural_network",
+                  "deep_learning": "neural_network"}
+from neurondb_tpu.ml.api import _ALIASES as _A  # noqa: E402
+_A.update(_ALIASES_EXTRA)
+
+
+# ---- reinforcement learning ----
+
+from neurondb_tpu.ml import rl as RL
+
+
+def _rl_train(X, *, n_states=None, n_actions=None, alpha=0.1, gamma=0.95,
+              epochs=50):
+    import numpy as _np
+    t = _np.asarray(X, _np.float32)
+    ns = int(n_states if n_states is not None
+             else max(t[:, 0].max(), t[:, 3].max()) + 1)
+    na = int(n_actions if n_actions is not None else t[:, 1].max() + 1)
+    Q = RL.q_learning_fit(t, n_states=ns, n_actions=na, alpha=alpha,
+                          gamma=gamma, epochs=epochs)
+    return {"Q": Q}
+
+
+register_algorithm(Trainer(
+    "reinforcement_learning", _rl_train,
+    lambda m, X: m["Q"][jnp.asarray(X, jnp.int32).reshape(-1)].argmax(1),
+    None, task="unsupervised"))

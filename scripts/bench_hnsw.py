@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""HNSW benchmark — GloVe-style angular config (BASELINE.json config #2).
+
+Synthetic angular corpus (zero-egress environment; use NDB_GLOVE_PATH to
+point at real .fvecs GloVe files when available). Reports build wall-clock
+and the QPS/recall@10 curve over an ef_search sweep.
+
+Usage: python scripts/bench_hnsw.py  [env: NDB_BENCH_N, NDB_BENCH_Q]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax.numpy as jnp
+    from neurondb_tpu.index import HNSWIndex
+    from neurondb_tpu.ops import topk as TK
+    from neurondb_tpu.ml.metrics import recall_at_k
+    from neurondb_tpu import native
+
+    n = int(os.environ.get("NDB_BENCH_N", 200_000))
+    nq = int(os.environ.get("NDB_BENCH_Q", 1000))
+    k = 10
+    glove = os.environ.get("NDB_GLOVE_PATH")
+    if glove and os.path.exists(glove):
+        x = native.read_vecs(glove, "fvecs", max_n=n)
+        d = x.shape[1]
+    else:
+        d = 100
+        rng = np.random.default_rng(0)
+        centers = rng.standard_normal((512, d)).astype(np.float32)
+        ids = rng.integers(0, 512, n)
+        x = centers[ids] + 0.6 * rng.standard_normal((n, d)).astype(np.float32)
+    rng = np.random.default_rng(1)
+    q = x[rng.choice(len(x), nq, replace=False)] + \
+        0.05 * rng.standard_normal((nq, x.shape[1])).astype(np.float32)
+
+    # angular ground truth
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    xj = jnp.asarray(xn)
+    gt = np.empty((nq, k), np.int64)
+    for s in range(0, nq, 256):
+        e = min(s + 256, nq)
+        _, ids_ = TK.chunked_knn(jnp.asarray(qn[s:e]), xj, k,
+                                 metric="sqeuclidean", chunk=131072)
+        gt[s:e] = np.asarray(ids_)
+    del xj
+
+    t0 = time.time()
+    idx = HNSWIndex(x, m=16, ef_construction=200, metric="cosine", seed=0,
+                    wave=1024)
+    build_s = time.time() - t0
+
+    curve = []
+    for ef in (16, 32, 64, 128, 256):
+        idx.search(q[:256], k=k, ef=ef)            # warm compile
+        t0 = time.time()
+        _, ids_ = idx.search(q, k=k, ef=ef)
+        wall = time.time() - t0
+        r = recall_at_k(ids_, gt)
+        curve.append({"ef": ef, "recall_at_10": round(r, 4),
+                      "qps": round(nq / wall, 1)})
+        if r >= 0.99:
+            break
+
+    qps95 = next((c["qps"] for c in curve if c["recall_at_10"] >= 0.95),
+                 None)
+    print(json.dumps({
+        "metric": "hnsw_glove_angular_qps_at_recall95",
+        "value": qps95, "unit": "qps",
+        "n": n, "build_seconds": round(build_s, 1),
+        "curve": curve,
+    }))
+
+
+if __name__ == "__main__":
+    main()
