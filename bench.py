@@ -21,12 +21,14 @@ Scale knobs via env: NDB_BENCH_N (default 1_000_000), NDB_BENCH_Q (1000).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_QPS = 2000.0
+GT_PATH = os.environ.get("NDB_BENCH_GT_PATH", "/tmp/ndb_bench_gt.npz")
 
 
 def make_corpus(n, d, seed=0):
@@ -43,37 +45,24 @@ def make_corpus(n, d, seed=0):
     return out
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from neurondb_tpu.index import IVFFlatIndex
-    from neurondb_tpu.ops import topk as TK
-    from neurondb_tpu.ml.metrics import recall_at_k
-
-    n = int(os.environ.get("NDB_BENCH_N", 1_000_000))
-    d = 128
-    nq = int(os.environ.get("NDB_BENCH_Q", 1000))
-    k = 10
-    nlists = int(os.environ.get("NDB_BENCH_NLISTS", 1024))
+def _bench_inputs(n, d, nq):
     x = make_corpus(n, d)
     rng = np.random.default_rng(1)
     q = x[rng.choice(n, nq, replace=False)] + \
         0.05 * rng.standard_normal((nq, d)).astype(np.float32)
+    return x, q
 
-    # Build + warm the fused kernel FIRST: the Mosaic remote compile on
-    # this backend is only reliable early in a clean process, before the
-    # heavy XLA programs (ground-truth scan) have run. Compiled kernels
-    # land in the persistent cache, so subsequent work is safe.
-    batch = 1024
-    t0 = time.time()
-    index = IVFFlatIndex(x, nlists=nlists, metric="l2", seed=0)
-    jax.block_until_ready(index._vecs)
-    build_s = time.time() - t0
-    qpad_warm = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
-    index.search(qpad_warm, k=k, nprobe=1)      # compiles the pallas kernel
 
-    # exact ground truth on device; free the device copy afterwards so the
-    # index + kernel have full HBM headroom
+def gt_only():
+    """Compute exact ground truth and exit. Runs as a SUBPROCESS: the big
+    brute-force scan destabilizes later fused-kernel executions on this
+    backend, so the main process never runs it."""
+    import jax.numpy as jnp
+    from neurondb_tpu.ops import topk as TK
+    n = int(os.environ.get("NDB_BENCH_N", 1_000_000))
+    nq = int(os.environ.get("NDB_BENCH_Q", 1000))
+    k = 10
+    x, q = _bench_inputs(n, 128, nq)
     xj = jnp.asarray(x)
     gt_ids = np.empty((nq, k), np.int64)
     t0 = time.time()
@@ -82,10 +71,52 @@ def main():
         _, ids = TK.chunked_knn(jnp.asarray(q[s:e]), xj, k, metric="l2",
                                 chunk=131072)
         gt_ids[s:e] = np.asarray(ids)
-    gt_s = time.time() - t0
-    del xj, ids
-    import gc
-    gc.collect()
+    np.savez(GT_PATH, gt_ids=gt_ids, n=n, nq=nq,
+             seconds=time.time() - t0)
+
+
+def main():
+    n = int(os.environ.get("NDB_BENCH_N", 1_000_000))
+    d = 128
+    nq = int(os.environ.get("NDB_BENCH_Q", 1000))
+    k = 10
+    nlists = int(os.environ.get("NDB_BENCH_NLISTS", 1024))
+
+    # Subprocess phases MUST run before this process touches the backend:
+    # only one process can hold the TPU, and initializing jax here first
+    # would deadlock the children. (1) exact ground truth (the big scan
+    # destabilizes later kernel executions in-process); (2) Mosaic kernel
+    # prewarm into the persistent cache (fresh Mosaic compiles are only
+    # reliable in a pristine process). See IMPLEMENTATION_NOTES.md.
+    gt_ok = False
+    if os.path.exists(GT_PATH):
+        blob = np.load(GT_PATH)
+        gt_ok = int(blob["n"]) == n and int(blob["nq"]) == nq
+    if not gt_ok:
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--gt-only"], check=True, timeout=540)
+        blob = np.load(GT_PATH)
+    gt_ids = blob["gt_ids"]
+    gt_s = float(blob["seconds"])
+
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms.startswith(("axon", "tpu")) or platforms == "":
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--prewarm-only"], check=True, timeout=400)
+
+    import jax
+    from neurondb_tpu.index import IVFFlatIndex
+    from neurondb_tpu.ml.metrics import recall_at_k
+
+    x, q = _bench_inputs(n, d, nq)
+
+    batch = 1024
+    t0 = time.time()
+    index = IVFFlatIndex(x, nlists=nlists, metric="l2", seed=0)
+    jax.block_until_ready(index._vecs)
+    build_s = time.time() - t0
+    qpad_warm = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
+    index.search(qpad_warm, k=k, nprobe=1)      # warm (kernel prewarmed)
 
     # All searches use one batch shape (B=1024): on this backend each new
     # kernel shape is a fresh, expensive (and flaky) compilation, and the
@@ -137,5 +168,20 @@ def main():
     }))
 
 
+def prewarm_only():
+    import jax
+    if jax.default_backend() != "tpu":
+        return
+    from neurondb_tpu.ops.pallas.ivf_scan import prewarm
+    n = int(os.environ.get("NDB_BENCH_N", 1_000_000))
+    nlists = int(os.environ.get("NDB_BENCH_NLISTS", 1024))
+    prewarm(n, 128, nlists=nlists, k=10, batch=1024)
+
+
 if __name__ == "__main__":
-    main()
+    if "--gt-only" in sys.argv:
+        gt_only()
+    elif "--prewarm-only" in sys.argv:
+        prewarm_only()
+    else:
+        main()

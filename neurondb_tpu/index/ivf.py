@@ -105,21 +105,11 @@ def _ivf_search_device(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "nprobe", "metric", "max_segs",
-                                    "nprobe_pad"))
-def _ivf_search_pallas(q, centroids, vecs, row_ids, offsets, counts, *,
-                       k: int, nprobe: int, metric: str, max_segs: int,
-                       nprobe_pad: int = 0):
-    """TPU fast path: centroid GEMM coarse stage + fused Pallas probe scan
-    (contiguous DMA per (query, probe) — see ops/pallas/ivf_scan.py).
-
-    nprobe_pad > nprobe pads the probe list with empty (cnt=0) slots so
-    different nprobe settings share ONE kernel compilation — fresh Pallas
-    compiles are expensive and, on this backend, flaky after the first few
-    in a process; empty cells exit in microseconds.
-    """
-    from neurondb_tpu.ops.pallas.ivf_scan import ivf_probe_scan
-    q_sq = jnp.sum(q * q, axis=1)
+                   static_argnames=("nprobe", "metric", "nprobe_pad"))
+def _ivf_coarse(q, centroids, offsets, counts, *, nprobe: int, metric: str,
+                nprobe_pad: int):
+    """Coarse stage: centroid scores -> top-nprobe probe offsets/counts,
+    padded to nprobe_pad (cnt=0 slots are skipped by the kernel)."""
     cd = D.pairwise_distance(
         q, centroids, "sqeuclidean" if metric != "ip" else "ip")
     _, probes = TK.topk_smallest(cd, nprobe)               # [B, nprobe]
@@ -128,10 +118,12 @@ def _ivf_search_pallas(q, centroids, vecs, row_ids, offsets, counts, *,
     if nprobe_pad > nprobe:
         pad = nprobe_pad - nprobe
         poff = jnp.pad(poff, ((0, 0), (0, pad)))
-        pcnt = jnp.pad(pcnt, ((0, 0), (0, pad)))   # cnt 0 = skipped cell
-    vals, rows = ivf_probe_scan(
-        q, q_sq, vecs, poff, pcnt, k=k, max_segs=max_segs,
-        metric="ip" if metric == "ip" else "sqeuclidean")
+        pcnt = jnp.pad(pcnt, ((0, 0), (0, pad)))
+    return poff, pcnt
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _ivf_post(vals, rows, row_ids, *, metric: str):
     ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
     if metric == "l2":
         vals = jnp.sqrt(jnp.maximum(vals, 0.0))
@@ -139,6 +131,28 @@ def _ivf_search_pallas(q, centroids, vecs, row_ids, offsets, counts, *,
         vals = vals * 0.5
     vals = jnp.where(ids >= 0, vals, TK.NEG_FILL)
     return vals, ids
+
+
+def _ivf_search_pallas(q, centroids, vecs, row_ids, offsets, counts, *,
+                       k: int, nprobe: int, metric: str, max_segs: int,
+                       nprobe_pad: int = 0):
+    """TPU fast path: coarse centroid stage (XLA jit) -> fused Pallas probe
+    scan (its OWN top-level jit so the prewarmed Mosaic executable is the
+    one reused; see ops/pallas/ivf_scan.prewarm) -> post-processing jit.
+
+    nprobe_pad > nprobe pads the probe list with empty (cnt=0) slots so
+    different nprobe settings share ONE kernel compilation — fresh Mosaic
+    compiles are expensive and, on this backend, flaky after the first few
+    in a process; empty cells exit in microseconds.
+    """
+    from neurondb_tpu.ops.pallas.ivf_scan import ivf_probe_scan
+    poff, pcnt = _ivf_coarse(q, centroids, offsets, counts, nprobe=nprobe,
+                             metric=metric, nprobe_pad=max(nprobe_pad,
+                                                           nprobe))
+    vals, rows = ivf_probe_scan(
+        q, None, vecs, poff, pcnt, k=k, max_segs=max_segs,
+        metric="ip" if metric == "ip" else "sqeuclidean")
+    return _ivf_post(vals, rows, row_ids, metric=metric)
 
 
 class IVFFlatIndex(BaseIndex):
@@ -241,16 +255,20 @@ class IVFFlatIndex(BaseIndex):
                       and jax.default_backend() == "tpu"
                       and q.shape[1] % 128 == 0)
         if use_pallas:
-            # bucket nprobe so sweeps reuse one kernel compilation
+            # bucket nprobe AND max_segs so sweeps and datasets with
+            # similar list lengths reuse one kernel compilation
             npad = 1
             while npad < nprobe:
                 npad *= 4
             npad = min(max(npad, 16), self.nlists)
+            segs_b = 1
+            while segs_b < max_segs:
+                segs_b *= 2
             vals, rows = _ivf_search_pallas(
                 q, self.centroids, self._vecs, self._row_ids,
                 self._offsets, self._counts,
                 k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
-                max_segs=max_segs, nprobe_pad=max(npad, nprobe))
+                max_segs=segs_b, nprobe_pad=max(npad, nprobe))
         else:
             vals, rows = _ivf_search_device(
                 q, self.centroids, self._vecs, self._sqnorms, self._row_ids,

@@ -52,9 +52,16 @@ def _probe_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
     max_cnt = jnp.max(cnt_col)
     n_segs = jnp.minimum((max_cnt + SEG - 1) // SEG, max_segs)
 
+    n_rows_total = vecs_hbm.shape[0]
+
     def get_dma(slot, t, s):
+        # n_segs is the max over the query block, so a short list can be
+        # asked for segments past its extent; clamp the start so the DMA
+        # never leaves the buffer (a segment whose start gets clamped has
+        # no valid rows — the cnt mask discards everything it loads).
+        start = jnp.minimum(offs[t] + s * SEG, n_rows_total - SEG)
         return pltpu.make_async_copy(
-            vecs_hbm.at[pl.ds(offs[t] + s * SEG, SEG), :],
+            vecs_hbm.at[pl.ds(start, SEG), :],
             vmem_buf.at[slot, t],
             sem.at[slot, t],
         )
@@ -195,6 +202,29 @@ def ivf_probe_scan(q, qsq, vecs, probes_off, probes_cnt, *,
     # exhausted selection rounds re-surface stale ids at NEG_FILL distance
     ids = jnp.where(vals < NEG_FILL * 0.5, ids, -1)
     return vals, ids
+
+
+def prewarm(n_rows: int, d: int, *, nlists: int = 1024, k: int = 10,
+            batch: int = 1024, nprobe_pad: int = 16,
+            max_segs_buckets=(8, 16), metric: str = "sqeuclidean") -> None:
+    """Compile the probe-scan kernel shapes for a corpus of ``n_rows``
+    BEFORE any other device work. The Mosaic remote compile on this
+    backend is only reliable early in a clean process; compiled programs
+    persist in the on-disk cache, so one successful prewarm per shape is
+    enough forever. All operand shapes derive from (n_rows, d, batch):
+    the index padding rule must match index/ivf.py (_build_lists).
+    """
+    import jax.numpy as jnp
+    seg = SEG
+    npad = max(1, -(-n_rows // seg) * seg) + seg
+    q = jnp.zeros((batch, d), jnp.float32)
+    vecs = jnp.zeros((npad, d), jnp.float32)
+    poff = jnp.zeros((batch, nprobe_pad), jnp.int32)
+    pcnt = jnp.zeros((batch, nprobe_pad), jnp.int32)
+    for ms in max_segs_buckets:
+        out = ivf_probe_scan(q, None, vecs, poff, pcnt, k=k,
+                             max_segs=ms, metric=metric)
+        out[0].block_until_ready()
 
 
 def ivf_probe_scan_reference(q, qsq, vecs, probes_off, probes_cnt, *,
