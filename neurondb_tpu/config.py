@@ -43,7 +43,7 @@ class NDBConfig:
     batch_size: int = 1024                # gpu_batch_size analog: query batch
     scan_chunk: int = 65536               # N-dimension chunk for flat scans
     distance_dtype: str = "float32"       # accumulation dtype
-    store_dtype: str = "float32"          # default store dtype (bf16 on TPU often)
+    store_dtype: str = "auto"             # auto = bf16 on TPU, f32 elsewhere
     topk_recall_target: float = 1.0       # approx_min_k recall target (1.0 = exact)
 
     # ---- LLM / embedding gateway (llm_* GUCs, neurondb_llm.h:15-119) ----

@@ -326,7 +326,14 @@ class HNSWIndex(BaseIndex):
             cap *= 2
         pad = cap - self._ncap
         if self._vecs is None:
-            self._vecs = jnp.zeros((cap, self.dim), jnp.float32)
+            # bf16 vector storage on TPU halves the beam-search gather
+            # traffic; sqnorms stay f32 (computed from the f32 source)
+            store_dt = (jnp.bfloat16
+                        if (jax.default_backend() == "tpu"
+                            and get_config().store_dtype in ("auto",
+                                                             "bfloat16"))
+                        else jnp.float32)
+            self._vecs = jnp.zeros((cap, self.dim), store_dt)
             self._sqnorms = jnp.zeros((cap,), jnp.float32)
             self._nbr0 = jnp.full((cap, 2 * self.m), -1, jnp.int32)
         else:
@@ -392,7 +399,7 @@ class HNSWIndex(BaseIndex):
         self._ensure_capacity(self.n + m)
         rows = np.arange(self.n, self.n + m, dtype=np.int32)
         xj = jnp.asarray(x)
-        self._vecs = self._vecs.at[self.n:self.n + m].set(xj)
+        self._vecs = self._vecs.at[self.n:self.n + m].set(xj.astype(self._vecs.dtype))
         self._sqnorms = self._sqnorms.at[self.n:self.n + m].set(
             jnp.sum(xj * xj, axis=1))
         self._ids_np = np.concatenate([self._ids_np, new_ids])
@@ -467,7 +474,7 @@ class HNSWIndex(BaseIndex):
                 [rows, np.full(W - W_real, rows[-1], rows.dtype)])
             levels = np.concatenate(
                 [levels, np.zeros(W - W_real, levels.dtype)])
-        q = self._vecs[jnp.asarray(rows)]
+        q = self._vecs[jnp.asarray(rows)].astype(jnp.float32)
         efc = self.ef_construction
         node_top = int(levels.max())
         graph_top = self.entry_level
@@ -651,11 +658,11 @@ class HNSWIndex(BaseIndex):
         existing = nbr[uq]                                     # [V, cap]
         cand = jnp.concatenate([existing, jnp.asarray(newmat)], axis=1)
         if level == 0:
-            vvecs = self._vecs[uq]
+            vvecs = self._vecs[uq].astype(jnp.float32)
             cand_g = cand
         else:
             u = self._upper[level - 1]
-            vvecs = self._vecs[u["nodes"][uq]]
+            vvecs = self._vecs[u["nodes"][uq]].astype(jnp.float32)
             cand_g = jnp.where(cand >= 0,
                                u["nodes"][jnp.maximum(cand, 0)], -1)
         # bound the heuristic's O(C^2) pairwise block for hub targets
@@ -775,7 +782,7 @@ class HNSWIndex(BaseIndex):
         self._upper = []
         self._ensure_capacity(max(n, 1))
         x = jnp.asarray(arrays["vecs"])
-        self._vecs = self._vecs.at[:n].set(x)
+        self._vecs = self._vecs.at[:n].set(x.astype(self._vecs.dtype))
         self._sqnorms = self._sqnorms.at[:n].set(jnp.sum(x * x, axis=1))
         self._nbr0 = self._nbr0.at[:n].set(jnp.asarray(arrays["nbr0"]))
         self._ids_np = np.asarray(arrays["ids"])

@@ -195,21 +195,45 @@ class IVFFlatIndex(BaseIndex):
         self._spill: list = []        # unindexed inserts, exact-scanned
 
     # ---- list construction ----
+    LIST_ALIGN = 32   # rows; Mosaic DMA starts must be sublane-aligned
+
     def _build_lists(self, x: np.ndarray) -> None:
         labels = np.asarray(kmeans_predict(self.centroids, jnp.asarray(x)))
         order = np.argsort(labels, kind="stable")
         counts = np.bincount(labels, minlength=self.nlists).astype(np.int32)
+        # Aligned CSR: every list start is a LIST_ALIGN multiple so the
+        # fused kernel's DMA slices satisfy Mosaic's tiling-divisibility
+        # requirement (bf16 packs 2 rows/sublane). Gap rows are dead: the
+        # kernel masks by cnt and the XLA path by row bounds.
+        A = self.LIST_ALIGN
+        aligned = ((counts + A - 1) // A) * A
         offsets = np.zeros(self.nlists, np.int32)
-        np.cumsum(counts[:-1], out=offsets[1:])
-        xo = x[order]
+        np.cumsum(aligned[:-1], out=offsets[1:])
+        total = int(aligned.sum())
         n = x.shape[0]
-        # +SEGMENT: the Pallas scan kernel requires every per-list segment
-        # DMA to stay in bounds (ops/pallas/ivf_scan.py caller contract)
-        npad = max(1, -(-n // SEGMENT) * SEGMENT) + SEGMENT
-        self._vecs = jnp.asarray(np.pad(xo, ((0, npad - n), (0, 0))))
-        self._sqnorms = jnp.sum(self._vecs * self._vecs, axis=1)
-        self._row_ids = jnp.asarray(np.pad(
-            order.astype(np.int32), (0, npad - n), constant_values=-1))
+        # +SEGMENT: every per-list segment DMA stays in bounds
+        # (ops/pallas/ivf_scan.py caller contract)
+        npad = max(1, -(-total // SEGMENT) * SEGMENT) + SEGMENT
+        xo = x[order]
+        xp = np.zeros((npad, x.shape[1]), np.float32)
+        src = np.zeros(self.nlists + 1, np.int64)
+        np.cumsum(counts, out=src[1:])
+        order_aligned = np.full(npad, -1, np.int64)
+        for lid in range(self.nlists):
+            o, c = offsets[lid], counts[lid]
+            xp[o:o + c] = xo[src[lid]:src[lid] + c]
+            order_aligned[o:o + c] = order[src[lid]:src[lid] + c]
+        order = order_aligned
+        # store bf16 on TPU: halves posting-list DMA traffic; distances
+        # accumulate in f32 on the MXU (ranking-equivalent; sqnorms from
+        # the f32 source keep the L2 expansion accurate)
+        self._store_bf16 = (jax.default_backend() == "tpu"
+                            and get_config().store_dtype in ("auto",
+                                                             "bfloat16"))
+        xj = jnp.asarray(xp)
+        self._sqnorms = jnp.sum(xj * xj, axis=1)
+        self._vecs = xj.astype(jnp.bfloat16) if self._store_bf16 else xj
+        self._row_ids = jnp.asarray(order.astype(np.int32))
         self._offsets = jnp.asarray(offsets)
         self._counts = jnp.asarray(counts)
         self.max_list = int(counts.max()) if n else 1

@@ -78,15 +78,18 @@ def _validate_ivf(idx) -> Dict[str, Any]:
     checks.append({"check": "list_balance", "ok": imb < 8.0,
                    "imbalance": imb,
                    "empty_lists": int((counts == 0).sum())})
-    # 4. assignment sanity on a sample: rows belong to their nearest centroid
+    # 4. assignment sanity on a sample: rows belong to their nearest
+    # centroid (reconstruct original order through the aligned CSR map)
     n_sample = min(256, idx.n)
     if n_sample:
         rng = np.random.default_rng(0)
         rows = rng.choice(idx.n, n_sample, replace=False)
         import jax.numpy as jnp
         from neurondb_tpu.ml.kmeans import kmeans_predict
-        x = np.asarray(idx._vecs)[:idx.n][np.argsort(
-            np.asarray(idx._row_ids[:idx.n]))]  # original order
+        rid = np.asarray(idx._row_ids)
+        live = rid >= 0
+        x = np.zeros((idx.n, idx.dim), np.float32)
+        x[rid[live]] = np.asarray(idx._vecs, np.float32)[live]
         lab = np.asarray(kmeans_predict(idx.centroids,
                                         jnp.asarray(x[rows])))
         ok = bool((lab == np.asarray(idx._labels)[rows]).mean() > 0.99)

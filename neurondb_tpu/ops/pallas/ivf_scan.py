@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SEG = 512          # rows per DMA segment
-QB = 8             # queries per grid cell
+QB = 16            # queries per grid cell (amortizes DMA latency)
 NEG_FILL = float(jnp.finfo(jnp.float32).max)
 
 
@@ -59,7 +59,10 @@ def _probe_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
         # asked for segments past its extent; clamp the start so the DMA
         # never leaves the buffer (a segment whose start gets clamped has
         # no valid rows — the cnt mask discards everything it loads).
-        start = jnp.minimum(offs[t] + s * SEG, n_rows_total - SEG)
+        # List offsets are 32-row aligned (ivf.py LIST_ALIGN) so the slice
+        # start provably satisfies Mosaic's sublane tiling.
+        start = pl.multiple_of(
+            jnp.minimum(offs[t] + s * SEG, n_rows_total - SEG), 32)
         return pltpu.make_async_copy(
             vecs_hbm.at[pl.ds(start, SEG), :],
             vmem_buf.at[slot, t],
@@ -90,7 +93,9 @@ def _probe_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
         rows_sq = []
         for t in range(QB):
             get_dma(s % 2, t, s).wait()
-            x = vmem_buf[s % 2, t]                     # [SEG, D]
+            # posting lists may be stored bf16 (half the DMA traffic);
+            # compute in f32 for accurate distances
+            x = vmem_buf[s % 2, t].astype(jnp.float32)   # [SEG, D]
             rows_d.append(jax.lax.dot_general(
                 q[t:t + 1], x, dn, preferred_element_type=jnp.float32))
             if metric != "ip":
@@ -145,10 +150,10 @@ def ivf_probe_scan(q, qsq, vecs, probes_off, probes_cnt, *,
     ascending; pads id -1. ``qsq`` is accepted for API parity and ignored
     (computed in-kernel).
 
-    CALLER CONTRACT: vecs must be padded so every segment DMA stays in
-    bounds — off + ceil(cnt/SEG)*SEG <= Npad for every list (pad the block
-    by at least SEG extra rows). Dynamic-slice clamping would otherwise
-    silently shift an out-of-bounds DMA start and misalign data vs ids.
+    CALLER CONTRACT: (1) vecs padded so every segment DMA stays in bounds
+    — pad the block by at least SEG extra rows past the last list; (2)
+    every list offset is a multiple of 32 rows (Mosaic sublane tiling for
+    any supported dtype). index/ivf.py's aligned CSR layout provides both.
     """
     B, D = q.shape
     nprobe = probes_off.shape[1]
@@ -177,7 +182,7 @@ def ivf_probe_scan(q, qsq, vecs, probes_off, probes_cnt, *,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, QB, SEG, D), jnp.float32),
+            pltpu.VMEM((2, QB, SEG, D), vecs.dtype),
             pltpu.SemaphoreType.DMA((2, QB)),
         ],
     )
@@ -215,10 +220,14 @@ def prewarm(n_rows: int, d: int, *, nlists: int = 1024, k: int = 10,
     the index padding rule must match index/ivf.py (_build_lists).
     """
     import jax.numpy as jnp
+    from neurondb_tpu.config import get_config
     seg = SEG
     npad = max(1, -(-n_rows // seg) * seg) + seg
+    store_dt = (jnp.bfloat16
+                if get_config().store_dtype in ("auto", "bfloat16")
+                else jnp.float32)
     q = jnp.zeros((batch, d), jnp.float32)
-    vecs = jnp.zeros((npad, d), jnp.float32)
+    vecs = jnp.zeros((npad, d), store_dt)
     poff = jnp.zeros((batch, nprobe_pad), jnp.int32)
     pcnt = jnp.zeros((batch, nprobe_pad), jnp.int32)
     for ms in max_segs_buckets:

@@ -11,12 +11,14 @@ from neurondb_tpu.ops.pallas.ivf_scan import (ivf_probe_scan,
 
 @pytest.fixture(scope="module")
 def ivf_layout(rng):
-    # 6 lists with varying lengths, cluster-contiguous rows
+    # 6 lists with varying (odd) lengths; starts 32-aligned per the
+    # kernel contract (Mosaic sublane tiling), ends ragged
     lens = [700, 512, 100, 1024, 3, 200]
-    total = sum(lens)
+    aligned = [(-(-l // 32)) * 32 for l in lens]
+    offsets = np.cumsum([0] + aligned[:-1]).astype(np.int32)
+    total = sum(aligned)
     npad = -(-total // SEG) * SEG + SEG   # +SEG: DMA in-bounds contract
     vecs = rng.standard_normal((npad, 128)).astype(np.float32)
-    offsets = np.cumsum([0] + lens[:-1]).astype(np.int32)
     counts = np.asarray(lens, np.int32)
     return vecs, offsets, counts
 
