@@ -110,7 +110,7 @@ def main():
 
     x, q = _bench_inputs(n, d, nq)
 
-    batch = 1024
+    batch = 4096   # large batches amortize the per-call tunnel latency
     t0 = time.time()
     index = IVFFlatIndex(x, nlists=nlists, metric="l2", seed=0)
     jax.block_until_ready(index._vecs)
@@ -118,9 +118,9 @@ def main():
     qpad_warm = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
     index.search(qpad_warm, k=k, nprobe=1)      # warm (kernel prewarmed)
 
-    # All searches use one batch shape (B=1024): on this backend each new
-    # kernel shape is a fresh, expensive (and flaky) compilation, and the
-    # engine buckets nprobe internally for the same reason.
+    # All searches use one batch shape: on this backend each new kernel
+    # shape is a fresh, expensive (and flaky) compilation, and the engine
+    # buckets nprobe internally for the same reason.
     qpad = qpad_warm
 
     # nprobe sweep to hit recall >= 0.95 (nprobe<=16 shares one bucket)
@@ -175,7 +175,7 @@ def prewarm_only():
     from neurondb_tpu.ops.pallas.ivf_scan import prewarm
     n = int(os.environ.get("NDB_BENCH_N", 1_000_000))
     nlists = int(os.environ.get("NDB_BENCH_NLISTS", 1024))
-    prewarm(n, 128, nlists=nlists, k=10, batch=1024)
+    prewarm(n, 128, nlists=nlists, k=10, batch=4096)
 
 
 if __name__ == "__main__":

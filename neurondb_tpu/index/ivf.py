@@ -234,6 +234,17 @@ class IVFFlatIndex(BaseIndex):
         self._sqnorms = jnp.sum(xj * xj, axis=1)
         self._vecs = xj.astype(jnp.bfloat16) if self._store_bf16 else xj
         self._row_ids = jnp.asarray(order.astype(np.int32))
+        # device-resident external-id map (CSR row -> user id): the hot
+        # search path must emit final ids without eager host-side mapping
+        ext = np.full(npad, -1, np.int64)
+        live = order >= 0
+        ext[live] = self._ids[order[live]]
+        if len(self._ids) == 0 or ext.max() <= np.iinfo(np.int32).max:
+            self._ext_ids = jnp.asarray(ext.astype(np.int32))
+            self._host_id_map = None
+        else:       # >int32 external ids: emit rows, map on host
+            self._ext_ids = self._row_ids
+            self._host_id_map = True
         self._offsets = jnp.asarray(offsets)
         self._counts = jnp.asarray(counts)
         self.max_list = int(counts.max()) if n else 1
@@ -288,20 +299,20 @@ class IVFFlatIndex(BaseIndex):
             segs_b = 1
             while segs_b < max_segs:
                 segs_b *= 2
-            vals, rows = _ivf_search_pallas(
-                q, self.centroids, self._vecs, self._row_ids,
+            vals, ids = _ivf_search_pallas(
+                q, self.centroids, self._vecs, self._ext_ids,
                 self._offsets, self._counts,
                 k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
                 max_segs=segs_b, nprobe_pad=max(npad, nprobe))
         else:
-            vals, rows = _ivf_search_device(
-                q, self.centroids, self._vecs, self._sqnorms, self._row_ids,
+            vals, ids = _ivf_search_device(
+                q, self.centroids, self._vecs, self._sqnorms, self._ext_ids,
                 self._offsets, self._counts,
                 k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
                 max_segs=max_segs, segment=SEGMENT)
-        ids_arr = jnp.asarray(self._ids)
-        ids = jnp.where(rows >= 0, ids_arr[jnp.maximum(rows, 0)], -1)
         vals, ids = np.asarray(vals), np.asarray(ids)
+        if self._host_id_map is not None:   # rows -> int64 external ids
+            ids = np.where(ids >= 0, self._ids[np.maximum(ids, 0)], -1)
         if self._spill:
             vals, ids = self._merge_spill(np.asarray(q), k, vals, ids)
         return (vals[0], ids[0]) if single else (vals, ids)
