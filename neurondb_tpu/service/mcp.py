@@ -172,7 +172,8 @@ def register_engine_tools(srv: MCPServer) -> None:
                               n_sub=int(a.get("n_sub", 8)))
         else:
             raise ValueError(f"unknown index kind {kind!r}")
-        srv.add_collection(a.get("collection", "default"), idx)
+        srv.add_collection(a.get("collection", "default"), idx,
+                           docs=a.get("documents"))
         return {"collection": a.get("collection", "default"),
                 "kind": kind, "n": len(data)}
 
@@ -308,7 +309,9 @@ def register_engine_tools(srv: MCPServer) -> None:
         t_config)
 
     def t_graph(a: Dict):
-        from neurondb_tpu.types.graph import VectorGraph, pagerank, bfs
+        from neurondb_tpu.types.graph import (VectorGraph, bfs,
+                                              community_labels,
+                                              connected_components, pagerank)
         g = VectorGraph.from_edges(int(a["n"]),
                                    [tuple(e) for e in a["edges"]])
         op = a.get("op", "pagerank")
@@ -316,13 +319,238 @@ def register_engine_tools(srv: MCPServer) -> None:
             return {"pagerank": pagerank(g)}
         if op == "bfs":
             return {"levels": bfs(g, int(a.get("source", 0)))}
+        if op == "components":
+            return {"components": connected_components(g)}
+        if op == "community":
+            return {"labels": community_labels(g)}
         raise ValueError(f"unknown graph op {op!r}")
 
     srv.register_tool(
-        "vgraph", "Graph ops over an edge list (pagerank/bfs)",
+        "vgraph", "Graph ops over an edge list (pagerank/bfs/components/"
+        "community)",
         schema({"n": {"type": "integer"}, "edges": {"type": "array"},
                 "op": {"type": "string"}, "source": {"type": "integer"}},
                ["n", "edges"]), t_graph)
+
+    # ---- distance / vector ops ----
+    def t_distance(a: Dict):
+        from neurondb_tpu.ops import distance as DD
+        x = np.asarray(a["x"], np.float32)
+        y = np.asarray(a["y"], np.float32)
+        m = a.get("metric", "l2")
+        return {"distance": DD.pairwise_distance(
+            x[None] if x.ndim == 1 else x,
+            y[None] if y.ndim == 1 else y, m)}
+
+    srv.register_tool(
+        "vector_distance", "Distance between vectors for any metric",
+        schema({"x": {"type": "array"}, "y": {"type": "array"},
+                "metric": {"type": "string"}}, ["x", "y"]), t_distance)
+
+    def t_normalize(a: Dict):
+        from neurondb_tpu.ops.vector_ops import vector_normalize
+        return {"normalized": vector_normalize(
+            np.asarray(a["vector"], np.float32))}
+
+    srv.register_tool("vector_normalize", "L2-normalize a vector",
+                      schema({"vector": vec}, ["vector"]), t_normalize)
+
+    # ---- hybrid / diverse / temporal search over a collection ----
+    def _col_docs(a):
+        col = srv.collection(a.get("collection", "default"))
+        return col
+
+    def t_hybrid(a: Dict):
+        from neurondb_tpu.search.bm25 import BM25Index
+        from neurondb_tpu.search.hybrid import hybrid_search
+        col = _col_docs(a)
+        docs = col["docs"]
+        if not docs:
+            raise ValueError("collection has no documents for hybrid search")
+        bm = BM25Index(docs)
+        s, ids = hybrid_search(col["index"], bm,
+                               np.asarray(a["vector"], np.float32),
+                               a["text"], k=int(a.get("k", 10)),
+                               weight=float(a.get("weight", 0.5)))
+        return {"ids": ids, "scores": s}
+
+    srv.register_tool(
+        "hybrid_search", "Vector + BM25 fused search over a collection",
+        schema({"collection": {"type": "string"}, "vector": vec,
+                "text": {"type": "string"}, "k": {"type": "integer"},
+                "weight": {"type": "number"}}, ["vector", "text"]), t_hybrid)
+
+    def t_mmr(a: Dict):
+        from neurondb_tpu.search.hybrid import mmr_diverse_search
+        s, ids = mmr_diverse_search(
+            np.asarray(a["vector"], np.float32),
+            np.asarray(a["candidates"], np.float32),
+            np.asarray(a.get("candidate_ids",
+                             range(len(a["candidates"])))),
+            k=int(a.get("k", 10)),
+            lambda_=float(a.get("lambda", 0.5)))
+        return {"ids": ids, "scores": s}
+
+    srv.register_tool(
+        "diverse_search_mmr", "MMR diversity re-selection over candidates",
+        schema({"vector": vec, "candidates": {"type": "array"},
+                "candidate_ids": {"type": "array"}, "k": {"type": "integer"},
+                "lambda": {"type": "number"}}, ["vector", "candidates"]),
+        t_mmr)
+
+    def t_rerank_ensemble(a: Dict):
+        from neurondb_tpu.search.rerank import rerank_ensemble
+        rankings = [(np.asarray(r["scores"], np.float32),
+                     np.asarray(r["ids"])) for r in a["rankings"]]
+        s, ids = rerank_ensemble(rankings, a.get("weights"),
+                                 k=int(a.get("k", 10)),
+                                 method=a.get("method", "weighted"))
+        return {"ids": ids, "scores": s}
+
+    srv.register_tool(
+        "rerank_ensemble", "Weighted/Borda ensemble of rankings",
+        schema({"rankings": {"type": "array"},
+                "weights": {"type": "array"}, "k": {"type": "integer"},
+                "method": {"type": "string"}}, ["rankings"]),
+        t_rerank_ensemble)
+
+    def t_rerank_cross(a: Dict):
+        from neurondb_tpu.search.rerank import rerank_cross_encoder
+        from neurondb_tpu.ml.transformer import CrossEncoder
+        scores, order = rerank_cross_encoder(
+            a["query"], a["documents"], CrossEncoder(dim=128),
+            k=a.get("k"))
+        return {"order": order, "scores": scores}
+
+    srv.register_tool(
+        "rerank_cross_encoder", "Cross-encoder rerank of documents",
+        schema({"query": {"type": "string"},
+                "documents": {"type": "array"}, "k": {"type": "integer"}},
+               ["query", "documents"]), t_rerank_cross)
+
+    # ---- ML extensions ----
+    def t_automl(a: Dict):
+        from neurondb_tpu.ml.automl import automl
+        return automl(a.get("project", "mcp"),
+                      np.asarray(a["X"], np.float32), np.asarray(a["y"]),
+                      task=a.get("task", "classify"),
+                      algorithms=a.get("algorithms"),
+                      folds=int(a.get("folds", 3)))
+
+    srv.register_tool(
+        "automl", "Algorithm + hyperparameter search with CV leaderboard",
+        schema({"project": {"type": "string"}, "X": {"type": "array"},
+                "y": {"type": "array"}, "task": {"type": "string"},
+                "algorithms": {"type": "array"},
+                "folds": {"type": "integer"}}, ["X", "y"]), t_automl)
+
+    def t_drift(a: Dict):
+        from neurondb_tpu.ml.drift import feature_drift_report
+        return feature_drift_report(np.asarray(a["reference"], np.float32),
+                                    np.asarray(a["live"], np.float32))
+
+    srv.register_tool(
+        "drift_detect", "Feature drift report (PSI/KS/mean-shift)",
+        schema({"reference": {"type": "array"}, "live": {"type": "array"}},
+               ["reference", "live"]), t_drift)
+
+    def t_forecast(a: Dict):
+        from neurondb_tpu.ml.timeseries import ar_fit, ar_forecast
+        y = np.asarray(a["series"], np.float32)
+        m = ar_fit(y, order=int(a.get("order", 4)))
+        return {"forecast": ar_forecast(m, y, steps=int(a.get("steps", 8)))}
+
+    srv.register_tool(
+        "timeseries_forecast", "AR forecast of a numeric series",
+        schema({"series": {"type": "array"}, "order": {"type": "integer"},
+                "steps": {"type": "integer"}}, ["series"]), t_forecast)
+
+    def t_topics(a: Dict):
+        from neurondb_tpu.ml.extras import discover_topics
+        return discover_topics(a["documents"],
+                               n_topics=int(a.get("n_topics", 5)))
+
+    srv.register_tool(
+        "topic_discovery", "Cluster documents into topics (tf-idf)",
+        schema({"documents": {"type": "array"},
+                "n_topics": {"type": "integer"}}, ["documents"]), t_topics)
+
+    def t_describe(a: Dict):
+        from neurondb_tpu.ml.extras import describe
+        return {"summary": describe(np.asarray(a["X"], np.float32))}
+
+    srv.register_tool("analyze_features", "Summary stats per feature",
+                      schema({"X": {"type": "array"}}, ["X"]), t_describe)
+
+    def t_outliers(a: Dict):
+        from neurondb_tpu.ml.cluster_extra import knn_outlier_scores
+        s = knn_outlier_scores(np.asarray(a["X"], np.float32),
+                               k=int(a.get("k", 5)))
+        return {"scores": s}
+
+    srv.register_tool("outlier_scores", "kNN-distance outlier scores",
+                      schema({"X": {"type": "array"},
+                              "k": {"type": "integer"}}, ["X"]), t_outliers)
+
+    def t_chunk(a: Dict):
+        from neurondb_tpu.search.rag import chunk_text
+        return {"chunks": chunk_text(a["text"],
+                                     chunk_size=int(a.get("chunk_size", 512)),
+                                     overlap=int(a.get("overlap", 64)),
+                                     by=a.get("by", "chars"))}
+
+    srv.register_tool(
+        "chunk_text", "Split text into overlapping chunks (RAG)",
+        schema({"text": {"type": "string"},
+                "chunk_size": {"type": "integer"},
+                "overlap": {"type": "integer"}, "by": {"type": "string"}},
+               ["text"]), t_chunk)
+
+    def t_tune(a: Dict):
+        from neurondb_tpu.index.tuning import (recommend_hnsw_params,
+                                               recommend_ivf_params,
+                                               select_index_kind)
+        n = int(a["n"])
+        dim = int(a.get("dim", 128))
+        kind = a.get("kind") or select_index_kind(n, dim)
+        out = {"index": kind}
+        if kind == "hnsw":
+            out.update(recommend_hnsw_params(
+                n, dim, target_recall=float(a.get("target_recall", 0.95))))
+        elif kind == "ivfflat":
+            out.update(recommend_ivf_params(
+                n, target_recall=float(a.get("target_recall", 0.95))))
+        return out
+
+    srv.register_tool(
+        "index_tune", "Recommend index kind + parameters for a workload",
+        schema({"n": {"type": "integer"}, "dim": {"type": "integer"},
+                "kind": {"type": "string"},
+                "target_recall": {"type": "number"}}, ["n"]), t_tune)
+
+    def t_validate(a: Dict):
+        from neurondb_tpu.index.validate import validate_index
+        col = srv.collection(a.get("collection", "default"))
+        return validate_index(col["index"])
+
+    srv.register_tool("index_validate",
+                      "Structural validation of an index (neurondb_validate)",
+                      schema({"collection": {"type": "string"}}), t_validate)
+
+    def t_workers(a: Dict):
+        from neurondb_tpu.service.metrics import get_metrics
+        return {"stat_view": get_metrics().stat_view()}
+
+    srv.register_tool("engine_stats", "Engine metrics (pg_stat_neurondb)",
+                      schema({}), t_workers)
+
+    def t_device(a: Dict):
+        import jax
+        return {"backend": jax.default_backend(),
+                "devices": [str(d) for d in jax.devices()]}
+
+    srv.register_tool("device_info", "Accelerator info (gpu info parity)",
+                      schema({}), t_device)
 
 
 _emb_singleton = None
