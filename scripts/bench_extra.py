@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Extra benchmark configs (BASELINE.json #3/#4): quantized+rerank and
+hybrid vector+BM25 fusion. Prints one JSON line per config."""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    from bench import make_corpus
+    from neurondb_tpu.index import FlatIndex, PQIndex
+    from neurondb_tpu.index.flat import QuantizedFlatIndex
+    from neurondb_tpu.ml.metrics import recall_at_k, ndcg_at_k
+    from neurondb_tpu.search.bm25 import BM25Index
+    from neurondb_tpu.search.hybrid import hybrid_search
+
+    n = int(os.environ.get("NDB_BENCH_N", 200_000))
+    d = 128
+    nq = 512
+    k = 10
+    x = make_corpus(n, d)
+    rng = np.random.default_rng(1)
+    q = x[rng.choice(n, nq, replace=False)] + \
+        0.05 * rng.standard_normal((nq, d)).astype(np.float32)
+
+    # ground truth (ip metric for config #3)
+    flat = FlatIndex(x, metric="ip")
+    _, gt = flat.search(q, k=k)
+
+    # config #3: int8 store + exact rerank, inner product
+    idx8 = QuantizedFlatIndex(x, fmt="int8", metric="ip")
+    idx8.search(q, k=k, rerank=4)          # warm
+    t0 = time.time()
+    for _ in range(4):
+        _, ids8 = idx8.search(q, k=k, rerank=4)
+    wall = (time.time() - t0) / 4
+    r8 = recall_at_k(ids8, gt)
+    print(json.dumps({
+        "metric": "int8_rerank_ip_qps", "value": round(nq / wall, 1),
+        "unit": "qps", "recall_at_10": round(r8, 4), "n": n,
+        "code_bytes": int(idx8.compression_bytes),
+        "raw_bytes": int(n * d * 4)}))
+
+    # config #4: hybrid vector + BM25 (synthetic docs aligned to clusters)
+    nd_ = 20000
+    docs = [f"topic{i % 64} item {i} cluster word{i % 64}"
+            for i in range(nd_)]
+    xd = x[:nd_]
+    fidx = FlatIndex(xd, metric="l2")
+    bm = BM25Index(docs)
+    t0 = time.time()
+    hits = 0
+    n_hq = 64
+    for i in range(n_hq):
+        qi = int(rng.integers(0, nd_))
+        scores, ids = hybrid_search(fidx, bm, xd[qi],
+                                    f"topic{qi % 64} item {qi}", k=k)
+        hits += int(qi in ids)
+    wall = time.time() - t0
+    print(json.dumps({
+        "metric": "hybrid_vec_bm25_qps", "value": round(n_hq / wall, 1),
+        "unit": "qps", "self_hit_rate": round(hits / n_hq, 3),
+        "n_docs": nd_}))
+
+
+if __name__ == "__main__":
+    main()
