@@ -292,6 +292,86 @@ def _select_neighbors_heuristic(vvecs, cand, vecs, sqnorms, *,
     return lists
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("graph_top", "node_top", "efc", "m",
+                                    "metric", "heuristic"))
+def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
+                 graph_top: int, node_top: int, efc: int, m: int,
+                 metric: str, heuristic: bool):
+    """The whole per-wave search phase as ONE program: greedy descent
+    through the upper levels, intra-wave candidate mining, ef-bounded beam
+    search per level, and diversity-heuristic neighbor selection.
+
+    rows [W] global rows of the wave; uppers: tuple of (nbr, nodes, pos)
+    per level. Returns (sel0 [W, m] global rows,
+    {level: sel [W, m] local rows}).
+    """
+    W = rows.shape[0]
+    q = vecs[rows].astype(jnp.float32)
+
+    def select(cand_g):
+        if not heuristic:
+            return cand_g[:, :m]
+        return _select_neighbors_heuristic(q, cand_g, vecs, sqnorms,
+                                           metric=metric, cap=m)
+
+    # descent from the entry through the upper levels
+    cur_g = jnp.full((W,), entry, jnp.int32)
+    per_level_entry = {}
+    for l in range(graph_top, 0, -1):
+        nbrU, nodesU, posU = uppers[l - 1]
+        loc = jnp.maximum(posU[cur_g], 0)
+        loc = _greedy_descent(q, loc, vecs, sqnorms, nbrU, nodesU,
+                              metric=metric, max_steps=256)
+        per_level_entry[l] = loc
+        cur_g = nodesU[loc]
+    entry0 = cur_g
+
+    # intra-wave candidates: earlier wave members only (serial-insert
+    # visibility order); wave members are invisible in the frozen graph
+    within = None
+    if W > 1:
+        if metric == "ip":
+            d_ww = -jnp.dot(q, q.T, preferred_element_type=jnp.float32)
+        else:
+            qs = jnp.sum(q * q, axis=1)
+            d_ww = jnp.maximum(
+                qs[:, None] + qs[None, :]
+                - 2.0 * jnp.dot(q, q.T, preferred_element_type=jnp.float32),
+                0.0)
+        iu = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        ju = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        d_ww = jnp.where(ju < iu, d_ww, INF)
+        kw = min(m, W)
+        _, wpos = jax.lax.top_k(-d_ww, kw)
+        wvalid = jnp.take_along_axis(d_ww, wpos, axis=1) < INF
+        within = jnp.where(wvalid, rows[wpos], -1)         # [W, kw] global
+
+    sels = {}
+    for l in range(min(node_top, graph_top), 0, -1):
+        nbrU, nodesU, posU = uppers[l - 1]
+        _, bi = _beam_search(
+            q, per_level_entry[l], vecs, sqnorms, nbrU, nodesU, 0,
+            metric=metric, ef=efc, max_steps=efc // 4 + 32,
+            identity_map=False, expand=4)
+        cand_g = jnp.where(bi >= 0, nodesU[jnp.maximum(bi, 0)], -1)
+        if within is not None:
+            # keep only wave members that exist at this level
+            wloc_ok = posU[jnp.maximum(within, 0)] >= 0
+            w_g = jnp.where((within >= 0) & wloc_ok, within, -1)
+            cand_g = jnp.concatenate([cand_g, w_g], axis=1)
+        sel_g = select(cand_g)
+        sels[l] = jnp.where(sel_g >= 0, posU[jnp.maximum(sel_g, 0)], -1)
+
+    _, bi0 = _beam_search(
+        q, entry0, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
+        metric=metric, ef=efc, max_steps=efc // 4 + 32,
+        identity_map=True, expand=4)
+    cand0 = bi0 if within is None else jnp.concatenate([bi0, within], axis=1)
+    sel0 = select(cand0)
+    return sel0, sels
+
+
 # ===========================================================================
 # the index
 # ===========================================================================
@@ -496,80 +576,28 @@ class HNSWIndex(BaseIndex):
                 [rows, np.full(W - W_real, rows[-1], rows.dtype)])
             levels = np.concatenate(
                 [levels, np.zeros(W - W_real, levels.dtype)])
-        q = self._vecs[jnp.asarray(rows)].astype(jnp.float32)
         efc = self.ef_construction
         node_top = int(levels.max())
         graph_top = self.entry_level
 
-        # --- descent from the entry through levels above each node's level ---
-        cur_global = np.full(W, self.entry, np.int32)
-        cur_g = jnp.asarray(cur_global)
-        per_level_entry: Dict[int, jax.Array] = {}
-        for l in range(graph_top, 0, -1):
-            u = self._upper[l - 1]
-            loc = u["pos"][cur_g]
-            # nodes whose level >= l will beam-search at l; others keep descending
-            loc = jnp.maximum(loc, 0)
-            loc = _greedy_descent(
-                q, loc, self._vecs, self._sqnorms, u["nbr"], u["nodes"],
-                metric=self._imetric, max_steps=256)
-            per_level_entry[l] = loc
-            cur_g = u["nodes"][loc]
-        entry0 = cur_g                                          # [W] global
-
-        # --- intra-wave candidates: wave members don't see each other via
-        # the frozen graph, so add each node's nearest earlier-in-wave
-        # members to its candidate pool (serial-insert visibility order) ---
-        rows_j = jnp.asarray(rows)
-        within = None
-        if W > 1:
-            if self._imetric == "ip":
-                d_ww = -jnp.dot(q, q.T, preferred_element_type=jnp.float32)
-            else:
-                qs = jnp.sum(q * q, axis=1)
-                d_ww = jnp.maximum(
-                    qs[:, None] + qs[None, :]
-                    - 2.0 * jnp.dot(q, q.T, preferred_element_type=jnp.float32),
-                    0.0)
-            iu = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-            ju = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-            d_ww = jnp.where(ju < iu, d_ww, INF)       # earlier members only
-            kw = min(self.m, W)
-            _, wpos = jax.lax.top_k(-d_ww, kw)
-            wvalid = jnp.take_along_axis(d_ww, wpos, axis=1) < INF
-            within = jnp.where(wvalid, rows_j[wpos], -1)   # [W, kw] global
-
-        # --- per-level beam search + linking, top level down ---
+        # One fused jit for the whole search phase: per-wave eager
+        # dispatches and host syncs dominate wave time on this backend
+        # (each roundtrip costs tens of ms), so descent + intra-wave
+        # candidates + all beam searches + neighbor selection run as a
+        # single program with one device->host sync at the end.
+        uppers = tuple((u["nbr"], u["nodes"], u["pos"])
+                       for u in self._upper)
+        sel0_j, sels_j = _wave_search(
+            jnp.asarray(rows), jnp.int32(self.entry), self._vecs,
+            self._sqnorms, self._nbr0, uppers,
+            graph_top=graph_top, node_top=node_top, efc=efc, m=self.m,
+            metric=self._imetric, heuristic=self._heuristic)
+        sel0 = np.asarray(sel0_j)
         sel_np: Dict[int, np.ndarray] = {}
-        for l in range(min(node_top, graph_top), 0, -1):
-            u = self._upper[l - 1]
-            bd, bi = _beam_search(
-                q, per_level_entry[l], self._vecs, self._sqnorms,
-                u["nbr"], u["nodes"], u["n"],
-                metric=self._imetric, ef=efc,
-                max_steps=efc // 4 + 32, identity_map=False, expand=4)
-            cand = bi
-            if within is not None:
-                # wave members in local rows; pos is -1 for nodes whose
-                # level is below l, which masks them out naturally
-                wloc = jnp.where(within >= 0,
-                                 u["pos"][jnp.maximum(within, 0)], -1)
-                cand = jnp.concatenate([bi, wloc], axis=1)
-            sel = np.array(self._select(q, cand, self.m, upper=u))
-            mask = levels >= l
-            sel[~mask] = -1
+        for l, sj in sels_j.items():
+            sel = np.array(sj)
+            sel[~(levels >= l)] = -1
             sel_np[l] = sel
-        # level 0
-        # construction beams cap at efc+64 steps: the while_loop otherwise
-        # runs to the slowest of W lockstep queries (up to 4x longer) for
-        # marginal candidate quality the heuristic selection discards anyway
-        bd0, bi0 = _beam_search(
-            q, entry0, self._vecs, self._sqnorms, self._nbr0,
-            jnp.zeros((1,), jnp.int32), self.n,
-            metric=self._imetric, ef=efc, max_steps=efc // 4 + 32,
-            identity_map=True, expand=4)
-        cand0 = bi0 if within is None else jnp.concatenate([bi0, within], axis=1)
-        sel0 = np.asarray(self._select(q, cand0, self.m))      # global rows
 
         # --- apply links (drop pad rows) ---
         rows_r, levels_r = rows[:W_real], levels[:W_real]
