@@ -372,6 +372,28 @@ def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
     return sel0, sels
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("graph_top", "ef", "max_steps",
+                                    "metric", "expand"))
+def _query_search(q, entry, vecs, sqnorms, nbr0, uppers, *,
+                  graph_top: int, ef: int, max_steps: int, metric: str,
+                  expand: int):
+    """Query-time search as one program: greedy descent through the upper
+    levels + level-0 beam. One dispatch + one sync per sub-batch."""
+    B = q.shape[0]
+    cur = jnp.full((B,), entry, jnp.int32)
+    for l in range(graph_top, 0, -1):
+        nbrU, nodesU, posU = uppers[l - 1]
+        loc = jnp.maximum(posU[cur], 0)
+        loc = _greedy_descent(q, loc, vecs, sqnorms, nbrU, nodesU,
+                              metric=metric, max_steps=256)
+        cur = nodesU[loc]
+    return _beam_search(
+        q, cur, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
+        metric=metric, ef=ef, max_steps=max_steps, identity_map=True,
+        expand=expand)
+
+
 # ===========================================================================
 # the index
 # ===========================================================================
@@ -744,8 +766,8 @@ class HNSWIndex(BaseIndex):
 
     # ---- search ----
     def search(self, queries, k: int = 10, *, ef: Optional[int] = None,
-               max_steps: Optional[int] = None,
-               batch: int = 256) -> Tuple[np.ndarray, np.ndarray]:
+               max_steps: Optional[int] = None, batch: Optional[int] = None,
+               expand: int = 4) -> Tuple[np.ndarray, np.ndarray]:
         cfg = get_config()
         ef = int(ef or self.ef_search)
         ef = max(ef, k)
@@ -753,8 +775,14 @@ class HNSWIndex(BaseIndex):
         if self._spherical:
             qn = jnp.linalg.norm(q, axis=1, keepdims=True)
             q = q / jnp.maximum(qn, 1e-30)
-        steps = int(max_steps or (2 * ef + 32))
+        expand = max(1, expand)
+        steps = int(max_steps or ((2 * ef + 32) // expand + 16))
+        if batch is None:
+            # the visited bitmap is [B, Ncap] uint8: size sub-batches so it
+            # stays within ~256MB while amortizing per-call latency
+            batch = int(max(64, min(2048, (1 << 28) // max(self._ncap, 1))))
         outs_d, outs_i = [], []
+        uppers = tuple((u["nbr"], u["nodes"], u["pos"]) for u in self._upper)
         for s in range(0, q.shape[0], batch):
             qb = q[s:s + batch]
             nb = qb.shape[0]
@@ -763,30 +791,17 @@ class HNSWIndex(BaseIndex):
             if npad > nb:
                 qb = jnp.concatenate(
                     [qb, jnp.repeat(qb[-1:], npad - nb, axis=0)])
-            bd, bi = self._search_batch(qb, ef, steps)
-            outs_d.append(bd[:nb, :k])
-            outs_i.append(bi[:nb, :k])
-        dists = np.concatenate(outs_d) if len(outs_d) > 1 else np.asarray(outs_d[0])
-        rows = np.concatenate(outs_i) if len(outs_i) > 1 else np.asarray(outs_i[0])
+            bd, bi = _query_search(
+                qb, jnp.int32(self.entry), self._vecs, self._sqnorms,
+                self._nbr0, uppers, graph_top=self.entry_level, ef=ef,
+                max_steps=steps, metric=self._imetric, expand=expand)
+            outs_d.append(np.asarray(bd[:nb, :k]))
+            outs_i.append(np.asarray(bi[:nb, :k]))
+        dists = np.concatenate(outs_d) if len(outs_d) > 1 else outs_d[0]
+        rows = np.concatenate(outs_i) if len(outs_i) > 1 else outs_i[0]
         dists = self._postprocess_dist(np.asarray(dists))
         ids = np.where(rows >= 0, self._ids_np[np.maximum(rows, 0)], -1)
         return (dists[0], ids[0]) if single else (dists, ids)
-
-    def _search_batch(self, q: jax.Array, ef: int, steps: int):
-        B = q.shape[0]
-        cur = jnp.full((B,), self.entry, jnp.int32)
-        for l in range(self.entry_level, 0, -1):
-            u = self._upper[l - 1]
-            loc = jnp.maximum(u["pos"][cur], 0)
-            loc = _greedy_descent(q, loc, self._vecs, self._sqnorms,
-                                  u["nbr"], u["nodes"],
-                                  metric=self._imetric, max_steps=256)
-            cur = u["nodes"][loc]
-        bd, bi = _beam_search(
-            q, cur, self._vecs, self._sqnorms, self._nbr0,
-            jnp.zeros((1,), jnp.int32), self.n,
-            metric=self._imetric, ef=ef, max_steps=steps, identity_map=True)
-        return np.asarray(bd), np.asarray(bi)
 
     def _postprocess_dist(self, d: np.ndarray) -> np.ndarray:
         if self.metric == "l2":
