@@ -66,6 +66,41 @@ def hybrid_search(index, bm25: BM25Index, query_vec, query_text: str,
     return scores, ids
 
 
+def hybrid_search_batch(index, bm25: BM25Index, query_vecs,
+                        query_texts: Sequence[str], k: int = 10, *,
+                        weight: float = 0.5, candidates: int = 100,
+                        **search_kw):
+    """Batched hybrid search: ONE batched ANN call for all queries, then
+    per-query BM25 fusion on host. Returns (scores [B, k], ids [B, k]).
+    The per-query ``hybrid_search`` costs a device roundtrip per call;
+    this is the throughput path."""
+    q = np.atleast_2d(np.asarray(query_vecs, np.float32))
+    vd, vids = index.search(q, k=candidates, **search_kw)
+    out_s = np.zeros((len(q), k), np.float32)
+    out_i = np.full((len(q), k), -1, np.int64)
+    for b, text in enumerate(query_texts):
+        ok = vids[b] >= 0
+        d, ids = vd[b][ok], vids[b][ok]
+        tscores = bm25.scores(text)
+        t_norm = _normalize_scores(tscores)
+        vec_component = 1.0 - _normalize_scores(d)
+        pool: Dict[int, float] = {}
+        for dv, i in zip(vec_component, ids):
+            txt = t_norm[i] if 0 <= i < len(t_norm) else 0.0
+            pool[int(i)] = weight * float(dv) + (1 - weight) * float(txt)
+        top_text = np.argsort(-tscores, kind="stable")[:candidates]
+        for i in top_text:
+            if tscores[i] <= 0:
+                break
+            if int(i) not in pool:
+                pool[int(i)] = (1 - weight) * float(t_norm[i])
+        items = sorted(pool.items(), key=lambda kv: -kv[1])[:k]
+        for j, (i, s) in enumerate(items):
+            out_i[b, j] = i
+            out_s[b, j] = s
+    return out_s, out_i
+
+
 def reciprocal_rank_fusion(rankings: Sequence[np.ndarray], k: int = 10,
                            rrf_k: float = 60.0) -> Tuple[np.ndarray, np.ndarray]:
     """RRF over any number of ranked id lists (hybrid_search.c:359):

@@ -63,7 +63,7 @@ def main():
 
     curve = []
     for ef in (16, 64, 128):
-        idx.search(q[:256], k=k, ef=ef)            # warm compile
+        idx.search(q, k=k, ef=ef)                  # warm (same shape)
         t0 = time.time()
         _, ids_ = idx.search(q, k=k, ef=ef)
         wall = time.time() - t0
