@@ -68,9 +68,13 @@ def gt_only():
     t0 = time.time()
     for s in range(0, nq, 256):
         e = min(s + 256, nq)
-        _, ids = TK.chunked_knn(jnp.asarray(q[s:e]), xj, k, metric="l2",
+        qb = q[s:e]
+        if e - s < 256:   # one compile shape for the tail batch too
+            qb = np.concatenate(
+                [qb, np.repeat(qb[-1:], 256 - (e - s), axis=0)])
+        _, ids = TK.chunked_knn(jnp.asarray(qb), xj, k, metric="l2",
                                 chunk=131072)
-        gt_ids[s:e] = np.asarray(ids)
+        gt_ids[s:e] = np.asarray(ids)[: e - s]
     np.savez(GT_PATH, gt_ids=gt_ids, n=n, nq=nq,
              seconds=time.time() - t0)
 

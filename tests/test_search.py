@@ -70,6 +70,20 @@ def test_hybrid_filter(embedded, bm25):
     assert 2 not in ids
 
 
+def test_hybrid_search_batch(embedded, bm25):
+    idx = FlatIndex(embedded, metric="cosine")
+    qv = np.stack([embedded[2] + 0.01, embedded[4] + 0.01])
+    scores, ids = H.hybrid_search_batch(
+        idx, bm25, qv, ["vector search neighbors", "tpu matrix"], k=3)
+    assert ids.shape == (2, 3)
+    assert ids[0, 0] == 2
+    assert ids[1, 0] == 4
+    # matches the per-query path
+    s1, i1 = H.hybrid_search(idx, bm25, qv[0], "vector search neighbors",
+                             k=3)
+    np.testing.assert_array_equal(ids[0], i1)
+
+
 def test_rrf():
     a = np.array([1, 2, 3, 4])
     b = np.array([3, 1, 5, 6])
