@@ -40,8 +40,10 @@ class FlatIndex(BaseIndex):
         self._vecs = x.astype(dt)
         xf = x.astype(jnp.float32)
         self._sqnorms = jnp.sum(xf * xf, axis=1)
-        self._ids = (jnp.asarray(ids, jnp.int32) if ids is not None
-                     else jnp.arange(self.n, dtype=jnp.int32))
+        # external ids stay host-side int64: mapping on device would
+        # silently truncate ids beyond int32
+        self._ids = (np.asarray(ids, np.int64) if ids is not None
+                     else np.arange(self.n, dtype=np.int64))
 
     def search(self, queries, k: int = 10, **kw) -> Tuple[np.ndarray, np.ndarray]:
         cfg = get_config()
@@ -51,8 +53,8 @@ class FlatIndex(BaseIndex):
             chunk=min(cfg.scan_chunk, max(self.n, 1)),
             base_sqnorms=self._sqnorms,
             recall_target=cfg.topk_recall_target)
-        ids = jnp.where(rows >= 0, self._ids[jnp.maximum(rows, 0)], -1)
-        dists, ids = np.asarray(dists), np.asarray(ids)
+        dists, rows = np.asarray(dists), np.asarray(rows)
+        ids = np.where(rows >= 0, self._ids[np.maximum(rows, 0)], -1)
         return (dists[0], ids[0]) if single else (dists, ids)
 
     def _state(self):
@@ -86,8 +88,8 @@ class QuantizedFlatIndex(BaseIndex):
         self.q = quantize(x, fmt)
         self._orig = x if keep_originals else None
         self._orig_sq = jnp.sum(x * x, axis=1) if keep_originals else None
-        self._ids = (jnp.asarray(ids, jnp.int32) if ids is not None
-                     else jnp.arange(self.n, dtype=jnp.int32))
+        self._ids = (np.asarray(ids, np.int64) if ids is not None
+                     else np.arange(self.n, dtype=np.int64))
         # decoded approximation used for the coarse pass on non-binary formats
         if fmt != "binary":
             self._approx = dequantize(self.q)
@@ -122,8 +124,8 @@ class QuantizedFlatIndex(BaseIndex):
             cd = vals
         else:
             cd, rows = cd[:, :k], rows[:, :k]
-        ids = jnp.where(rows >= 0, self._ids[jnp.maximum(rows, 0)], -1)
-        cd, ids = np.asarray(cd), np.asarray(ids)
+        cd, rows = np.asarray(cd), np.asarray(rows)
+        ids = np.where(rows >= 0, self._ids[np.maximum(rows, 0)], -1)
         return (cd[0], ids[0]) if single else (cd, ids)
 
     def _state(self):
@@ -142,7 +144,7 @@ class QuantizedFlatIndex(BaseIndex):
                            jnp.asarray(arrays["scale"]),
                            jnp.asarray(arrays["offset"]),
                            meta["fmt"], meta["qdim"])
-        self._ids = jnp.asarray(arrays["ids"])
+        self._ids = np.asarray(arrays["ids"], np.int64)
         if "orig" in arrays:
             self._orig = jnp.asarray(arrays["orig"])
             self._orig_sq = jnp.sum(self._orig * self._orig, axis=1)

@@ -27,6 +27,7 @@ from neurondb_tpu.config import get_config
 from neurondb_tpu.index.base import BaseIndex, as_batch
 from neurondb_tpu.ml.kmeans import kmeans_fit
 from neurondb_tpu.ops import topk as TK
+from neurondb_tpu.ops import distance as D
 
 
 @functools.partial(jax.jit, static_argnames=("n_sub", "ksub", "iters"))
@@ -116,6 +117,46 @@ def train_opq_rotation(x: jax.Array, *, n_sub: int = 8, ksub: int = 256,
     return R, cb
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def _pq_chunked_scan(q, codebooks, codes, *, k: int, metric: str,
+                     chunk: int = 65536):
+    """ADC scan without materializing the full decoded corpus: scan over
+    code chunks, decode each chunk on device, fused distance + running
+    top-k merge. Keeps query-time memory at O(chunk * D) instead of
+    O(N * D) (a 10M x 128 corpus would otherwise decode 5 GB per call)."""
+    n = codes.shape[0]
+    k = min(k, n)
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0))).reshape(
+        n_chunks, chunk, codes.shape[1])
+    valid = jnp.pad(jnp.ones((n,), jnp.bool_), (0, pad)).reshape(
+        n_chunks, chunk)
+    base = jnp.arange(n_chunks) * chunk
+    q_sq = jnp.sum(q * q, axis=1)
+
+    init = (jnp.full((q.shape[0], k), TK.NEG_FILL, jnp.float32),
+            jnp.full((q.shape[0], k), -1, jnp.int32))
+
+    def step(carry, xs):
+        bv, bi = carry
+        cchunk, vmask, off = xs
+        dec = pq_decode(codebooks, cchunk)                 # [chunk, D]
+        if metric == "ip":
+            d = -jnp.dot(q, dec.T, preferred_element_type=jnp.float32)
+        else:
+            d_sq = jnp.sum(dec * dec, axis=1)
+            dots = jnp.dot(q, dec.T, preferred_element_type=jnp.float32)
+            d = jnp.maximum(q_sq[:, None] + d_sq[None, :] - 2.0 * dots, 0.0)
+        d = jnp.where(vmask[None, :], d, TK.NEG_FILL)
+        cv, cpos = TK.topk_smallest(d, min(k, chunk))
+        cids = off + cpos
+        return TK.merge_topk(bv, bi, cv, cids.astype(jnp.int32), k), None
+
+    (vals, rows), _ = jax.lax.scan(step, init, (codes_p, valid, base))
+    return vals, rows
+
+
 class PQIndex(BaseIndex):
     """PQ (or OPQ) compressed index with asymmetric scan + optional exact
     rerank from kept originals (BASELINE.json config #3 pipeline)."""
@@ -127,9 +168,10 @@ class PQIndex(BaseIndex):
                  train_sample: int = 65536, keep_originals: bool = False,
                  seed: int = 0):
         x = np.asarray(vectors, np.float32)
-        self.metric = "l2" if metric == "sqeuclidean" else metric
-        if self.metric not in ("l2", "sqeuclidean", "cosine", "ip"):
+        m = "l2" if metric == "sqeuclidean" else D.canonical_metric(metric)
+        if m not in ("l2", "sqeuclidean", "cosine", "ip"):
             raise ValueError(f"pq supports l2/cosine/ip, got {metric}")
+        self.metric = m
         self.dim = x.shape[1]
         self.n = x.shape[0]
         self.n_sub = n_sub
@@ -172,10 +214,9 @@ class PQIndex(BaseIndex):
         else:
             qr = q
         coarse_k = max(k, min(self.n, k * max(rerank, 1)))
-        decoded = pq_decode(self.codebooks, self.codes)
         metric = "sqeuclidean" if self.metric in ("l2", "cosine") else "ip"
-        d, rows = TK.chunked_knn(qr, decoded, coarse_k, metric=metric,
-                                 chunk=min(65536, max(self.n, 1)))
+        d, rows = _pq_chunked_scan(qr, self.codebooks, self.codes,
+                                   k=coarse_k, metric=metric)
         if rerank and self._orig is not None:
             rs = jnp.maximum(rows, 0)
             cand = self._orig[rs]

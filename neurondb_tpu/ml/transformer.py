@@ -31,6 +31,16 @@ from neurondb_tpu.search.bm25 import tokenize
 # tokenizer (word-piece-free, hash-vocab)
 # --------------------------------------------------------------------------
 
+def _stable_token_hash(token: str) -> int:
+    """FNV-1a over utf-8 — deterministic ACROSS PROCESSES. Python's
+    builtin hash() is salted per process (PYTHONHASHSEED), which would
+    make persisted embeddings irreproducible after a restart."""
+    h = 1469598103934665603
+    for b in token.encode("utf-8", "ignore"):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 class HashTokenizer:
     """Deterministic token-id assignment by hashing (no vocab file).
     The reference's tokenizer loads HF vocab (neurondb_tokenizer.c);
@@ -40,9 +50,12 @@ class HashTokenizer:
     def __init__(self, vocab_size: int = 30522):
         self.vocab_size = vocab_size
 
+    def _tid(self, token: str) -> int:
+        return 3 + (_stable_token_hash(token) % (self.vocab_size - 3))
+
     def encode(self, text: str, max_len: int = 128) -> np.ndarray:
         toks = tokenize(text, stem=False, stopwords=False)[: max_len - 2]
-        ids = [1] + [3 + (hash(t) % (self.vocab_size - 3)) for t in toks] + [2]
+        ids = [1] + [self._tid(t) for t in toks] + [2]
         out = np.zeros(max_len, np.int32)
         out[: len(ids)] = ids
         return out
@@ -50,8 +63,8 @@ class HashTokenizer:
     def encode_pair(self, a: str, b: str, max_len: int = 256) -> np.ndarray:
         ta = tokenize(a, stem=False, stopwords=False)
         tb = tokenize(b, stem=False, stopwords=False)
-        ids = [1] + [3 + (hash(t) % (self.vocab_size - 3)) for t in ta] + [2]
-        ids += [3 + (hash(t) % (self.vocab_size - 3)) for t in tb] + [2]
+        ids = [1] + [self._tid(t) for t in ta] + [2]
+        ids += [self._tid(t) for t in tb] + [2]
         ids = ids[:max_len]
         out = np.zeros(max_len, np.int32)
         out[: len(ids)] = ids

@@ -88,7 +88,9 @@ def read_ground_truth(path: str, max_n: Optional[int] = None) -> np.ndarray:
     """Read .ivecs ground-truth neighbor ids -> int32 [n, k]."""
     lib = _load()
     if lib is None:
-        return _read_vecs_py(path, "ivecs", max_n).astype(np.int32)
+        # as_float=False: routing int ids through float32 would corrupt
+        # values >= 2^24
+        return _read_vecs_py(path, "ivecs", max_n, as_float=False)
     n = ctypes.c_int64()
     d = ctypes.c_int32()
     rc = lib.vecs_info(path.encode(), 4, ctypes.byref(n), ctypes.byref(d))
@@ -127,7 +129,8 @@ def tokenize_corpus(docs) -> Tuple[np.ndarray, np.ndarray]:
 
 # ---- pure-Python fallbacks ----
 
-def _read_vecs_py(path: str, kind: str, max_n: Optional[int]) -> np.ndarray:
+def _read_vecs_py(path: str, kind: str, max_n: Optional[int],
+                  as_float: bool = True) -> np.ndarray:
     dt = {"fvecs": np.float32, "bvecs": np.uint8, "ivecs": np.int32}[kind]
     raw = np.fromfile(path, np.uint8)
     d = int(np.frombuffer(raw[:4].tobytes(), np.int32)[0])
@@ -136,7 +139,8 @@ def _read_vecs_py(path: str, kind: str, max_n: Optional[int]) -> np.ndarray:
     if max_n is not None:
         n = min(n, max_n)
     rows = raw[: n * rec].reshape(n, rec)[:, 4:]
-    return np.frombuffer(rows.tobytes(), dt).reshape(n, d).astype(np.float32)
+    out = np.frombuffer(rows.tobytes(), dt).reshape(n, d)
+    return out.astype(np.float32) if as_float else out.copy()
 
 
 def _fnv1a(s: bytes) -> int:

@@ -54,6 +54,14 @@ def sharded_knn(mesh: Mesh, queries, base_sharded, ids_sharded,
     def _search(q, xs, ids, valid):
         ld, lrows = TK.chunked_knn(q, xs, k, metric=metric,
                                    chunk=min(xs.shape[0], 65536), valid=valid)
+        # a shard with fewer than k rows returns a narrower result; pad
+        # so the cross-shard merge can always request top-k
+        kk_local = ld.shape[1]
+        if kk_local < k:
+            ld = jnp.pad(ld, ((0, 0), (0, k - kk_local)),
+                         constant_values=TK.NEG_FILL)
+            lrows = jnp.pad(lrows, ((0, 0), (0, k - kk_local)),
+                            constant_values=-1)
         lids = jnp.where(lrows >= 0, ids[jnp.maximum(lrows, 0)], -1)
         # gather partial top-k from every chip over ICI, merge locally
         gd = jax.lax.all_gather(ld, axis)          # [S, B, k]
@@ -61,7 +69,8 @@ def sharded_knn(mesh: Mesh, queries, base_sharded, ids_sharded,
         s, b, kk = gd.shape
         gd = jnp.moveaxis(gd, 0, 1).reshape(b, s * kk)
         gi = jnp.moveaxis(gi, 0, 1).reshape(b, s * kk)
-        negv, pos = jax.lax.top_k(-gd, k)
+        k_out = min(k, s * kk)
+        negv, pos = jax.lax.top_k(-gd, k_out)
         return -negv, jnp.take_along_axis(gi, pos, axis=1)
 
     return _search(queries, base_sharded, ids_sharded, valid_sharded)

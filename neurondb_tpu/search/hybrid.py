@@ -31,6 +31,35 @@ def _normalize_scores(s: np.ndarray) -> np.ndarray:
     return (s - lo) / (hi - lo) if hi > lo else np.zeros_like(s)
 
 
+def _bm25_row_of(bm25: BM25Index) -> Dict[int, int]:
+    """external doc id -> BM25 row position. BM25Index rows are corpus
+    positions; its .ids are the external ids — the fusion must join on
+    external ids, never assume rows == ids."""
+    return {int(i): r for r, i in enumerate(bm25.ids)}
+
+
+def _fuse_one(vd, vids, tscores, bm25_ids, row_of, *, weight, candidates,
+              filter_fn=None) -> Dict[int, float]:
+    t_norm = _normalize_scores(tscores)
+    vec_component = 1.0 - _normalize_scores(vd)
+    pool: Dict[int, float] = {}
+    for d, i in zip(vec_component, vids):
+        row = row_of.get(int(i))
+        txt = t_norm[row] if row is not None else 0.0
+        pool[int(i)] = weight * float(d) + (1.0 - weight) * float(txt)
+    # pull in strong text-only hits too (the SQL UNION the reference builds)
+    top_text = np.argsort(-tscores, kind="stable")[:candidates]
+    for row in top_text:
+        if tscores[row] <= 0:
+            break
+        ext = int(bm25_ids[row])
+        if ext not in pool:
+            pool[ext] = (1.0 - weight) * float(t_norm[row])
+    if filter_fn is not None:
+        pool = {i: s for i, s in pool.items() if filter_fn(i)}
+    return pool
+
+
 def hybrid_search(index, bm25: BM25Index, query_vec, query_text: str,
                   k: int = 10, *, weight: float = 0.5,
                   candidates: int = 100,
@@ -38,28 +67,15 @@ def hybrid_search(index, bm25: BM25Index, query_vec, query_text: str,
                   **search_kw) -> Tuple[np.ndarray, np.ndarray]:
     """score = w * (1 - dist_norm) + (1 - w) * bm25_norm
     (hybrid_search.c:200-220 semantics with normalized components).
-    Returns (scores desc, ids)."""
+    Returns (scores desc, ids) — ids are external document ids."""
     vd, vids = index.search(np.asarray(query_vec), k=candidates, **search_kw)
     if vd.ndim > 1:
         vd, vids = vd[0], vids[0]
     ok = vids >= 0
     vd, vids = vd[ok], vids[ok]
-    tscores = bm25.scores(query_text)
-    t_norm = _normalize_scores(tscores)
-    vec_component = 1.0 - _normalize_scores(vd)
-    pool: Dict[int, float] = {}
-    for d, i in zip(vec_component, vids):
-        txt = t_norm[i] if 0 <= i < len(t_norm) else 0.0
-        pool[int(i)] = weight * float(d) + (1.0 - weight) * float(txt)
-    # pull in strong text-only hits too (the SQL UNION the reference builds)
-    top_text = np.argsort(-tscores, kind="stable")[:candidates]
-    for i in top_text:
-        if tscores[i] <= 0:
-            break
-        if int(i) not in pool:
-            pool[int(i)] = (1.0 - weight) * float(t_norm[i])
-    if filter_fn is not None:
-        pool = {i: s for i, s in pool.items() if filter_fn(i)}
+    pool = _fuse_one(vd, vids, bm25.scores(query_text), bm25.ids,
+                     _bm25_row_of(bm25), weight=weight,
+                     candidates=candidates, filter_fn=filter_fn)
     items = sorted(pool.items(), key=lambda kv: -kv[1])[:k]
     ids = np.asarray([i for i, _ in items], np.int64)
     scores = np.asarray([s for _, s in items], np.float32)
@@ -76,24 +92,14 @@ def hybrid_search_batch(index, bm25: BM25Index, query_vecs,
     this is the throughput path."""
     q = np.atleast_2d(np.asarray(query_vecs, np.float32))
     vd, vids = index.search(q, k=candidates, **search_kw)
+    row_of = _bm25_row_of(bm25)
     out_s = np.zeros((len(q), k), np.float32)
     out_i = np.full((len(q), k), -1, np.int64)
     for b, text in enumerate(query_texts):
         ok = vids[b] >= 0
-        d, ids = vd[b][ok], vids[b][ok]
-        tscores = bm25.scores(text)
-        t_norm = _normalize_scores(tscores)
-        vec_component = 1.0 - _normalize_scores(d)
-        pool: Dict[int, float] = {}
-        for dv, i in zip(vec_component, ids):
-            txt = t_norm[i] if 0 <= i < len(t_norm) else 0.0
-            pool[int(i)] = weight * float(dv) + (1 - weight) * float(txt)
-        top_text = np.argsort(-tscores, kind="stable")[:candidates]
-        for i in top_text:
-            if tscores[i] <= 0:
-                break
-            if int(i) not in pool:
-                pool[int(i)] = (1 - weight) * float(t_norm[i])
+        pool = _fuse_one(vd[b][ok], vids[b][ok], bm25.scores(text),
+                         bm25.ids, row_of, weight=weight,
+                         candidates=candidates)
         items = sorted(pool.items(), key=lambda kv: -kv[1])[:k]
         for j, (i, s) in enumerate(items):
             out_i[b, j] = i

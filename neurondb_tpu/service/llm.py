@@ -269,6 +269,7 @@ class LLMRouter:
         self._jobs: Dict[int, LLMJob] = {}
         self._jobq: "queue.Queue[int]" = queue.Queue()
         self._next_job = 1
+        self._job_lock = threading.Lock()
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
@@ -313,7 +314,7 @@ class LLMRouter:
 
     # ---- async jobs (llm_jobs.c / worker_llm.c parity) ----
     def enqueue(self, op: str, payload: Dict) -> int:
-        with threading.Lock():
+        with self._job_lock:
             jid = self._next_job
             self._next_job += 1
         self._jobs[jid] = LLMJob(jid, op, payload)

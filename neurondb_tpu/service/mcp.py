@@ -367,7 +367,10 @@ def register_engine_tools(srv: MCPServer) -> None:
         docs = col["docs"]
         if not docs:
             raise ValueError("collection has no documents for hybrid search")
-        bm = BM25Index(docs)
+        bm = col.get("bm25")
+        if bm is None:       # build once per collection, not per call
+            bm = BM25Index(docs)
+            col["bm25"] = bm
         s, ids = hybrid_search(col["index"], bm,
                                np.asarray(a["vector"], np.float32),
                                a["text"], k=int(a.get("k", 10)),

@@ -82,15 +82,19 @@ class TenantManager:
     def check_ingest(self, tenant: str, n_vectors: int, n_bytes: int) -> None:
         q = self._quota(tenant)
         u = self.usage(tenant)
-        if q.max_vectors and u.vectors + n_vectors > q.max_vectors:
-            self._audit(tenant, "quota_reject", kind="vectors")
-            raise QuotaExceeded(
-                f"tenant {tenant!r} vector quota {q.max_vectors} exceeded")
-        if q.max_bytes and u.bytes + n_bytes > q.max_bytes:
-            self._audit(tenant, "quota_reject", kind="bytes")
-            raise QuotaExceeded(
-                f"tenant {tenant!r} storage quota {q.max_bytes} exceeded")
+        # check-and-increment under one lock: a TOCTOU window here would
+        # let concurrent ingests blow past the quota
         with self._lock:
+            if q.max_vectors and u.vectors + n_vectors > q.max_vectors:
+                self._audit(tenant, "quota_reject", kind="vectors")
+                raise QuotaExceeded(
+                    f"tenant {tenant!r} vector quota {q.max_vectors} "
+                    "exceeded")
+            if q.max_bytes and u.bytes + n_bytes > q.max_bytes:
+                self._audit(tenant, "quota_reject", kind="bytes")
+                raise QuotaExceeded(
+                    f"tenant {tenant!r} storage quota {q.max_bytes} "
+                    "exceeded")
             u.vectors += n_vectors
             u.bytes += n_bytes
         self._audit(tenant, "ingest", vectors=n_vectors, bytes=n_bytes)

@@ -52,7 +52,8 @@ class VectorStore:
         self._next_id = 0
         store_dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self._vecs = jnp.zeros((self._capacity, dim), store_dt)
-        self._ids = jnp.full((self._capacity,), -1, jnp.int32)
+        # external ids stay host-side int64 (device int32 would truncate)
+        self._ids = np.full((self._capacity,), -1, np.int64)
         self._valid = jnp.zeros((self._capacity,), jnp.bool_)
         self._sqnorms = jnp.zeros((self._capacity,), jnp.float32)
         self._deleted = 0
@@ -92,7 +93,7 @@ class VectorStore:
         new_cap = _round_capacity(need)
         pad = new_cap - self._capacity
         self._vecs = jnp.pad(self._vecs, ((0, pad), (0, 0)))
-        self._ids = jnp.pad(self._ids, (0, pad), constant_values=-1)
+        self._ids = np.pad(self._ids, (0, pad), constant_values=-1)
         self._valid = jnp.pad(self._valid, (0, pad), constant_values=False)
         self._sqnorms = jnp.pad(self._sqnorms, (0, pad))
         self._capacity = new_cap
@@ -116,7 +117,7 @@ class VectorStore:
         sl = slice(self._n, self._n + m)
         vf = vecs.astype(jnp.float32)
         self._vecs = self._vecs.at[sl].set(vecs.astype(self._vecs.dtype))
-        self._ids = self._ids.at[sl].set(jnp.asarray(new_ids))
+        self._ids[sl] = new_ids
         self._valid = self._valid.at[sl].set(True)
         self._sqnorms = self._sqnorms.at[sl].set(jnp.sum(vf * vf, axis=1))
         self._n += m
@@ -125,9 +126,9 @@ class VectorStore:
     def delete(self, ids) -> int:
         """Tombstone rows by external id; returns count removed."""
         ids = np.atleast_1d(np.asarray(ids, np.int64))
-        mask = jnp.isin(self._ids, jnp.asarray(ids)) & self._valid
-        removed = int(jnp.sum(mask))
-        self._valid = jnp.where(mask, False, self._valid)
+        mask = np.isin(self._ids, ids) & np.asarray(self._valid)
+        removed = int(mask.sum())
+        self._valid = jnp.where(jnp.asarray(mask), False, self._valid)
         self._deleted += removed
         return removed
 
@@ -137,7 +138,7 @@ class VectorStore:
         idx = np.nonzero(keep)[0]
         n = len(idx)
         vecs = jnp.asarray(np.asarray(self._vecs)[idx])
-        ids = jnp.asarray(np.asarray(self._ids)[idx])
+        ids = self._ids[idx]
         self.__init__(self.dim, dtype=self.dtype, metric=self.metric,
                       capacity=max(n, 1024))
         if n:
@@ -167,8 +168,8 @@ class VectorStore:
             base_sqnorms=self._sqnorms if m in ("l2", "sqeuclidean", "cosine") else None,
             valid=self._valid,
             recall_target=cfg.topk_recall_target)
-        out_ids = jnp.where(rows >= 0, self._ids[jnp.maximum(rows, 0)], -1)
-        dists, out_ids = np.asarray(dists), np.asarray(out_ids)
+        dists, rows = np.asarray(dists), np.asarray(rows)
+        out_ids = np.where(rows >= 0, self._ids[np.maximum(rows, 0)], -1)
         return (dists[0], out_ids[0]) if single else (dists, out_ids)
 
     # ---- quantization ----
