@@ -57,6 +57,17 @@ class RESTServer:
 
             def do_GET(self):
                 outer.metrics.counter("http_requests_total").inc()
+                if self.path == "/ws":
+                    from neurondb_tpu.service.websocket import (
+                        handle_ws_upgrade, serve_agent_ws)
+                    sock = handle_ws_upgrade(self)
+                    if sock is None:
+                        return self._send(400,
+                                          {"error": "websocket upgrade "
+                                                    "required"})
+                    serve_agent_ws(sock, outer.runtime)
+                    self.close_connection = True
+                    return
                 if self.path == "/health":
                     return self._send(200, {"status": "ok"})
                 if self.path == "/metrics":
