@@ -15,13 +15,11 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
-import jax
 import numpy as np
 
 
@@ -36,6 +34,40 @@ class ModelRecord:
     version: int = 1
     status: str = "trained"         # trained | deployed | archived
     created_at: float = field(default_factory=time.time)
+
+
+def _encode_tree(obj: Any, leaves: List[Any]) -> Any:
+    """Encode a container pytree (dict/list/tuple over array/scalar
+    leaves) as a JSON-safe structure; leaves are appended to ``leaves``
+    and referenced by index."""
+    if isinstance(obj, dict):
+        items = []
+        for k, v in obj.items():
+            if not isinstance(k, (str, int, float, bool)):
+                raise TypeError(f"unsupported dict key type "
+                                f"{type(k).__name__} in model pytree")
+            items.append([k, _encode_tree(v, leaves)])
+        return {"t": "dict", "items": items}
+    if isinstance(obj, (list, tuple)):
+        kind = "tuple" if isinstance(obj, tuple) else "list"
+        return {"t": kind, "items": [_encode_tree(v, leaves) for v in obj]}
+    if obj is None:
+        return {"t": "none"}
+    leaves.append(obj)
+    return {"t": "leaf", "i": len(leaves) - 1}
+
+
+def _decode_tree(node: Any, leaves: List[Any]) -> Any:
+    t = node["t"]
+    if t == "dict":
+        return {k: _decode_tree(v, leaves) for k, v in node["items"]}
+    if t == "list":
+        return [_decode_tree(v, leaves) for v in node["items"]]
+    if t == "tuple":
+        return tuple(_decode_tree(v, leaves) for v in node["items"])
+    if t == "none":
+        return None
+    return leaves[node["i"]]
 
 
 class ModelRegistry:
@@ -95,12 +127,17 @@ class ModelRegistry:
     def _persist(self, rec: ModelRecord) -> None:
         path = self._path(rec.model_id)
         os.makedirs(path, exist_ok=True)
-        leaves, treedef = jax.tree_util.tree_flatten(rec.model)
+        leaves: List[Any] = []
+        structure = _encode_tree(rec.model, leaves)
         np.savez_compressed(
             os.path.join(path, "weights.npz"),
             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
-        with open(os.path.join(path, "treedef.pkl"), "wb") as f:
-            pickle.dump(treedef, f)
+        # Tree structure as JSON, not a pickled treedef: loading a model
+        # dir from an untrusted NEURONDB_TPU_MODEL_ROOT must not execute
+        # code (ADVICE r1). Index checkpoints are npz+JSON for the same
+        # reason.
+        with open(os.path.join(path, "structure.json"), "w") as f:
+            json.dump(structure, f)
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump({"model_id": rec.model_id, "project": rec.project,
                        "algorithm": rec.algorithm,
@@ -116,9 +153,9 @@ class ModelRegistry:
             meta = json.load(f)
         data = np.load(os.path.join(path, "weights.npz"))
         leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
-        with open(os.path.join(path, "treedef.pkl"), "rb") as f:
-            treedef = pickle.load(f)
-        model = jax.tree_util.tree_unflatten(treedef, leaves)
+        with open(os.path.join(path, "structure.json")) as f:
+            structure = json.load(f)
+        model = _decode_tree(structure, leaves)
         rec = ModelRecord(meta["model_id"], meta["project"], meta["algorithm"],
                           model, meta["hyperparams"], meta["metrics"],
                           meta["version"], meta["status"], meta["created_at"])

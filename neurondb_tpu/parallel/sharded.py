@@ -170,8 +170,9 @@ class ShardedIVFIndex:
             shard_of[rows] = np.arange(len(rows)) % nshards
         per_shard_rows = [order[shard_of[order] == s] for s in range(nshards)]
         cap = max(max((len(r) for r in per_shard_rows), default=1), 1)
-        # device-side ids are int32 (x64 is disabled under jit); the API
-        # returns them as-is — external ids beyond int32 live host-side
+        # device-side ids are int32 row positions (x64 is disabled under
+        # jit); external ids — which may exceed int32 — are mapped back
+        # host-side after the merge, mirroring IVFFlatIndex
         xs = np.zeros((nshards, cap, self.dim), np.float32)
         ii = np.full((nshards, cap), -1, np.int32)
         off = np.zeros((nshards, self.nlists), np.int32)
@@ -186,8 +187,9 @@ class ShardedIVFIndex:
                 cnt[s, lid] = len(lr)
                 maxlen = max(maxlen, len(lr))
                 xs[s, o:o + len(lr)] = x[lr]
-                ii[s, o:o + len(lr)] = ids_np[lr]
+                ii[s, o:o + len(lr)] = lr          # row positions, not ids
                 o += len(lr)
+        self._ids_np = ids_np
         self.max_list = maxlen
         sh = lambda a: jax.device_put(
             jnp.asarray(a), NamedSharding(self.mesh, P(axis)))
@@ -216,7 +218,10 @@ class ShardedIVFIndex:
             d = np.sqrt(np.maximum(d, 0.0))
         elif self.metric == "cosine":
             d = d * 0.5
-        return d, np.asarray(ids)
+        rows = np.asarray(ids)
+        out_ids = np.where(rows >= 0, self._ids_np[np.maximum(rows, 0)],
+                           np.int64(-1))
+        return d, out_ids
 
 
 def _sharded_ivf_search(mesh, axis, q, centroids, vecs, ids, off, cnt, *,

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import re
 import secrets
 import threading
 import time
@@ -94,18 +93,77 @@ class MemoryStore:
 # tools
 # --------------------------------------------------------------------------
 
+class ToolValidator:
+    """Per-tool input validation before execution (sandbox/validator
+    parity with NeuronAgent internal/tools — required keys, types, and
+    size caps are checked before the handler runs)."""
+
+    def __init__(self):
+        # name -> {field: (type, required, max_len)}
+        self._schemas: Dict[str, Dict[str, tuple]] = {}
+
+    def declare(self, tool: str, **fields) -> None:
+        """declare("calc", expression=(str, True, 1000))"""
+        self._schemas[tool] = fields
+
+    def validate(self, tool: str, inp: Dict) -> None:
+        schema = self._schemas.get(tool)
+        if schema is None:
+            return
+        if not isinstance(inp, dict):
+            raise ValueError("tool input must be an object")
+        for field_name, (typ, required, max_len) in schema.items():
+            if field_name not in inp:
+                if required:
+                    raise ValueError(f"missing required field "
+                                     f"{field_name!r}")
+                continue
+            val = inp[field_name]
+            if not isinstance(val, typ):
+                raise ValueError(
+                    f"field {field_name!r} must be "
+                    f"{getattr(typ, '__name__', typ)}")
+            if max_len is not None and isinstance(val, (str, list, dict)) \
+                    and len(val) > max_len:
+                raise ValueError(f"field {field_name!r} too large "
+                                 f"(max {max_len})")
+
+
 class ToolRegistry:
-    """Named tool handlers (registry.go parity; shell off by default)."""
+    """Named tool handlers (NeuronAgent internal/tools/registry.go:30-33
+    parity: sql->query, http, code, shell; shell off by default, http off
+    unless a fetcher or allowed host list is provided)."""
 
-    def __init__(self, *, allow_shell: bool = False):
+    def __init__(self, *, allow_shell: bool = False,
+                 http_fetcher: Optional[Callable[[str, str, Optional[bytes],
+                                                  Dict], tuple]] = None,
+                 http_allowed_hosts: Optional[List[str]] = None,
+                 http_max_bytes: int = 1 << 20):
         self._tools: Dict[str, Callable[[Dict], str]] = {}
-        self.register("calc", self._calc)
-        self.register("echo", lambda inp: str(inp.get("text", "")))
+        self.validator = ToolValidator()
+        self._http_fetcher = http_fetcher
+        self._http_allowed_hosts = http_allowed_hosts
+        self._http_max_bytes = int(http_max_bytes)
+        self.register("calc", self._calc,
+                      expression=(str, True, 1000))
+        self.register("echo", lambda inp: str(inp.get("text", "")),
+                      text=(str, False, 100_000))
+        self.register("code", self._code,
+                      code=(str, True, 10_000))
+        if http_fetcher is not None or http_allowed_hosts:
+            self.register("http", self._http,
+                          url=(str, True, 2048), method=(str, False, 8),
+                          body=(str, False, 1 << 20), headers=(dict, False,
+                                                               64))
         if allow_shell:
-            self.register("shell", self._shell)
+            self.register("shell", self._shell,
+                          command=(str, True, 10_000))
 
-    def register(self, name: str, fn: Callable[[Dict], str]) -> None:
+    def register(self, name: str, fn: Callable[[Dict], str],
+                 **schema) -> None:
         self._tools[name] = fn
+        if schema:
+            self.validator.declare(name, **schema)
 
     def names(self) -> List[str]:
         return sorted(self._tools)
@@ -114,16 +172,55 @@ class ToolRegistry:
         if name not in self._tools:
             return f"error: unknown tool {name!r}"
         try:
+            self.validator.validate(name, inp)
             return str(self._tools[name](inp))
         except Exception as e:  # noqa: BLE001
             return f"error: {e}"
 
     @staticmethod
     def _calc(inp: Dict) -> str:
-        expr = str(inp.get("expression", ""))
-        if not re.fullmatch(r"[0-9+\-*/(). %]+", expr):
-            raise ValueError("calc accepts arithmetic expressions only")
-        return str(eval(expr, {"__builtins__": {}}, {}))  # noqa: S307
+        """Arithmetic via the sandboxed AST interpreter — bounded pow,
+        step budget (no eval; ADVICE r1: '9**9**9**9' must not pin the
+        process)."""
+        from neurondb_tpu.utils.safeeval import safe_eval
+        return str(safe_eval(str(inp.get("expression", ""))))
+
+    @staticmethod
+    def _code(inp: Dict) -> str:
+        """Restricted mini-program execution (NeuronAgent code tool):
+        whitelisted AST nodes only, step/magnitude budgets, no imports,
+        no attribute access."""
+        from neurondb_tpu.utils.safeeval import safe_exec
+        return str(safe_exec(str(inp.get("code", ""))))
+
+    def _http(self, inp: Dict) -> str:
+        """HTTP tool: scheme+host allowlist, response size cap. A custom
+        fetcher injects transport (tests run with a mock; prod uses
+        urllib)."""
+        from urllib.parse import urlsplit
+        url = str(inp.get("url", ""))
+        method = str(inp.get("method", "GET")).upper()
+        if method not in ("GET", "POST", "PUT", "DELETE", "HEAD"):
+            raise ValueError(f"method {method!r} not allowed")
+        parts = urlsplit(url)
+        if parts.scheme not in ("http", "https"):
+            raise ValueError("only http(s) URLs allowed")
+        if self._http_allowed_hosts is not None and \
+                parts.hostname not in self._http_allowed_hosts:
+            raise ValueError(f"host {parts.hostname!r} not in allowlist")
+        body = inp.get("body")
+        data = body.encode() if isinstance(body, str) else None
+        headers = {str(k): str(v)
+                   for k, v in (inp.get("headers") or {}).items()}
+        if self._http_fetcher is not None:
+            status, payload = self._http_fetcher(method, url, data, headers)
+            return f"{status}\n{payload[:self._http_max_bytes].decode(errors='replace')}"
+        import urllib.request
+        req = urllib.request.Request(url, data=data, headers=headers,
+                                     method=method)
+        with urllib.request.urlopen(req, timeout=30) as resp:  # noqa: S310
+            payload = resp.read(self._http_max_bytes)
+            return f"{resp.status}\n{payload.decode(errors='replace')}"
 
     @staticmethod
     def _shell(inp: Dict) -> str:
@@ -175,10 +272,16 @@ class AgentRuntime:
         self.router = router or LLMRouter([LocalProvider()])
         self.tools = tools or ToolRegistry()
         if search_fn is not None:
-            self.tools.register(
-                "search", lambda inp: "\n".join(
-                    search_fn(str(inp.get("query", "")),
-                              int(inp.get("k", 3)))))
+            handler = lambda inp: "\n".join(  # noqa: E731
+                search_fn(str(inp.get("query", "")),
+                          int(inp.get("k", 3))))
+            # "query" is the engine-backed analog of the reference's sql
+            # tool (NeuronAgent internal/tools/registry.go:30) — here the
+            # datastore is the vector engine, not PostgreSQL.
+            self.tools.register("search", handler,
+                                query=(str, True, 10_000))
+            self.tools.register("query", handler,
+                                query=(str, True, 10_000))
         self.memory = MemoryStore(self.router.embed)
         self.max_tool_rounds = max_tool_rounds
         self.agents: Dict[str, Agent] = {}

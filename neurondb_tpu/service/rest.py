@@ -57,7 +57,19 @@ class RESTServer:
 
             def do_GET(self):
                 outer.metrics.counter("http_requests_total").inc()
-                if self.path == "/ws":
+                if self.path == "/ws" or self.path.startswith("/ws?"):
+                    # Auth BEFORE the upgrade (reference mounts /ws behind
+                    # AuthMiddleware, NeuronAgent cmd/agent-server/main.go:94).
+                    # Browser WS clients can't set headers, so accept the
+                    # key as a query param too.
+                    key = self.headers.get("X-API-Key")
+                    if key is None and "?" in self.path:
+                        from urllib.parse import parse_qs, urlsplit
+                        qs = parse_qs(urlsplit(self.path).query)
+                        key = (qs.get("key") or qs.get("api_key")
+                               or [None])[0]
+                    if outer.auth.check(key) is None:
+                        return self._send(401, {"error": "unauthorized"})
                     from neurondb_tpu.service.websocket import (
                         handle_ws_upgrade, serve_agent_ws)
                     sock = handle_ws_upgrade(self)

@@ -26,6 +26,19 @@ OP_CLOSE = 0x8
 OP_PING = 0x9
 OP_PONG = 0xA
 
+# A single frame header can claim a 64-bit payload length; cap it so one
+# frame can't buffer gigabytes (close 1009 = message too big).
+MAX_FRAME_BYTES = 1 << 20
+
+CLOSE_PROTOCOL_ERROR = 1002
+CLOSE_TOO_BIG = 1009
+
+
+class WSProtocolError(ConnectionError):
+    def __init__(self, msg: str, code: int = CLOSE_PROTOCOL_ERROR):
+        super().__init__(msg)
+        self.code = code
+
 
 def accept_key(client_key: str) -> str:
     digest = hashlib.sha1((client_key + WS_GUID).encode()).digest()
@@ -45,9 +58,15 @@ def encode_frame(payload: bytes, opcode: int = OP_TEXT) -> bytes:
     return head + payload
 
 
-def decode_frame(sock: socket.socket) -> Tuple[int, bytes]:
-    """Read one client frame -> (opcode, payload). Client frames are
-    masked per RFC 6455 §5.1."""
+def decode_frame(sock: socket.socket,
+                 max_bytes: int = MAX_FRAME_BYTES,
+                 require_mask: bool = True) -> Tuple[int, bytes]:
+    """Read one frame -> (opcode, payload).
+
+    RFC 6455 §5.1: client frames MUST be masked — an unmasked frame fails
+    the connection (1002). Payloads above ``max_bytes`` are rejected
+    (1009) before any buffering. A client reading server frames passes
+    ``require_mask=False`` (server frames are unmasked)."""
     hdr = _read_exact(sock, 2)
     opcode = hdr[0] & 0x0F
     masked = bool(hdr[1] & 0x80)
@@ -56,6 +75,11 @@ def decode_frame(sock: socket.socket) -> Tuple[int, bytes]:
         n = struct.unpack(">H", _read_exact(sock, 2))[0]
     elif n == 127:
         n = struct.unpack(">Q", _read_exact(sock, 8))[0]
+    if n > max_bytes:
+        raise WSProtocolError(f"frame of {n} bytes exceeds cap "
+                              f"{max_bytes}", CLOSE_TOO_BIG)
+    if not masked and require_mask:
+        raise WSProtocolError("client frame not masked (RFC 6455 §5.1)")
     mask = _read_exact(sock, 4) if masked else b"\x00" * 4
     data = bytearray(_read_exact(sock, n))
     if masked:
@@ -116,5 +140,13 @@ def serve_agent_ws(sock: socket.socket, runtime) -> None:
             except (KeyError, json.JSONDecodeError) as e:
                 sock.sendall(encode_frame(json.dumps(
                     {"type": "error", "error": str(e)}).encode()))
+    except WSProtocolError as e:
+        try:
+            sock.sendall(encode_frame(
+                struct.pack(">H", e.code) + str(e).encode()[:120],
+                OP_CLOSE))
+        except OSError:
+            pass
+        return
     except (ConnectionError, OSError):
         return

@@ -122,3 +122,21 @@ def test_registry_persistence(tmp_path, rng):
     reg2 = ModelRegistry(str(tmp_path))
     rec = reg2.get(mid)
     np.testing.assert_allclose(rec.model["coef"], model["coef"])
+
+
+def test_registry_persistence_no_pickle(tmp_path, rng):
+    """Model dirs are npz + JSON only — loading an untrusted model root
+    must never execute code (ADVICE r1: pickled treedef)."""
+    import os
+    from neurondb_tpu.ml.registry import ModelRegistry
+    reg = ModelRegistry(str(tmp_path))
+    X = rng.standard_normal((30, 2)).astype(np.float32)
+    model = {"nested": {"coef": X[:, 0], "mix": [X, (1, 2.5, None)]}}
+    mid = reg.register("p", "custom", model)
+    files = os.listdir(os.path.join(str(tmp_path), f"model_{mid:06d}"))
+    assert not any(f.endswith(".pkl") for f in files)
+    rec = ModelRegistry(str(tmp_path)).get(mid)
+    np.testing.assert_allclose(rec.model["nested"]["coef"], X[:, 0])
+    np.testing.assert_allclose(rec.model["nested"]["mix"][0], X)
+    assert isinstance(rec.model["nested"]["mix"][1], tuple)
+    assert rec.model["nested"]["mix"][1][2] is None

@@ -70,3 +70,13 @@ def test_sharded_ivf_partial_probes(mesh, corpus):
     idx = ShardedIVFIndex(corpus, nlists=16, mesh=mesh, seed=0)
     d, ids = idx.search(corpus[:10], k=1, nprobe=4)
     assert (ids[:, 0] == np.arange(10)).mean() > 0.9
+
+
+def test_sharded_ivf_int64_external_ids(mesh, corpus):
+    """External ids beyond int32 must round-trip (ADVICE r1: device ids
+    were int32 and silently truncated)."""
+    big = np.arange(len(corpus), dtype=np.int64) + (1 << 40)
+    idx = ShardedIVFIndex(corpus, nlists=16, mesh=mesh, seed=0, ids=big)
+    d, ids = idx.search(corpus[:8], k=3, nprobe=16)
+    assert ids.dtype == np.int64
+    assert (ids[:, 0] == big[:8]).all()
