@@ -63,15 +63,31 @@ class Collection:
         return new_ids
 
     def delete(self, ids) -> None:
+        """Index-level delete when the live index supports it (IVF
+        in-place list compaction / HNSW tombstones — hnsw_am.c bulkdelete
+        parity); a full rebuild happens only for index kinds without a
+        delete path."""
         with self._lock:
-            drop = set(int(i) for i in np.atleast_1d(ids))
+            drop = sorted(set(int(i) for i in np.atleast_1d(ids)))
             keep = ~np.isin(self._ids, list(drop))
             self._vectors = self._vectors[keep]
             self._ids = self._ids[keep]
             for i in drop:
                 self._docs.pop(i, None)
                 self._meta.pop(i, None)
-            self._dirty = True
+            if self._index is not None and not self._dirty and \
+                    hasattr(self._index, "delete"):
+                self._index.delete(np.asarray(drop, np.int64))
+                if self._docs:          # BM25 postings rebuild stays cheap
+                    self._rebuild_bm25()
+            else:
+                self._dirty = True
+
+    def _rebuild_bm25(self) -> None:
+        from neurondb_tpu.search.bm25 import BM25Index
+        ids_sorted = sorted(self._docs)
+        self._bm25 = BM25Index([self._docs[i] for i in ids_sorted],
+                               ids=ids_sorted) if ids_sorted else None
 
     def __len__(self) -> int:
         return 0 if self._ids is None else len(self._ids)
@@ -104,10 +120,7 @@ class Collection:
             else:
                 raise ValueError(f"unknown index kind {kind!r}")
             if self._docs:
-                from neurondb_tpu.search.bm25 import BM25Index
-                ids_sorted = sorted(self._docs)
-                self._bm25 = BM25Index([self._docs[i] for i in ids_sorted],
-                                       ids=ids_sorted)
+                self._rebuild_bm25()
             self._dirty = False
 
     # ---- search surface ----

@@ -432,6 +432,7 @@ class HNSWIndex(BaseIndex):
         self._ncap = 0
         self._ids_np = np.zeros((0,), np.int64)
         self._levels_np = np.zeros((0,), np.int32)
+        self._alive_np = np.zeros((0,), bool)     # tombstones (delete)
         # device state (allocated by _ensure_capacity)
         self._vecs = None             # [Ncap, D] f32
         self._sqnorms = None          # [Ncap]
@@ -528,6 +529,7 @@ class HNSWIndex(BaseIndex):
             jnp.sum(xj * xj, axis=1))
         self._ids_np = np.concatenate([self._ids_np, new_ids])
         self._levels_np = np.concatenate([self._levels_np, levels])
+        self._alive_np = np.concatenate([self._alive_np, np.ones(m, bool)])
         self.n += m
 
         # register upper-level membership
@@ -764,6 +766,169 @@ class HNSWIndex(BaseIndex):
         # internal metric: cosine runs on the unit sphere as squared L2
         return "ip" if self.metric == "ip" else "sqeuclidean"
 
+    # ---- delete / vacuum (hnsw_am.c:544-733 bulkdelete role) ----
+    def delete(self, ids) -> int:
+        """Tombstone delete: deleted nodes stay traversable (preserving
+        graph connectivity and survivor recall — a deliberate divergence
+        from the reference's immediate back-link removal) but are masked
+        out of every result. ``compact()`` / DefragWorker later removes
+        them physically with back-link repair. Returns #removed."""
+        drop = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        mask = np.isin(self._ids_np, drop) & self._alive_np
+        hit = int(mask.sum())
+        if hit == 0:
+            return 0
+        self._alive_np[mask] = False
+        if self.entry >= 0 and not self._alive_np[self.entry]:
+            self._promote_entry()
+        return hit
+
+    def _promote_entry(self) -> None:
+        alive_rows = np.where(self._alive_np)[0]
+        if len(alive_rows) == 0:
+            self.entry, self.entry_level = -1, -1
+            return
+        best = alive_rows[np.argmax(self._levels_np[alive_rows])]
+        self.entry = int(best)
+        self.entry_level = int(self._levels_np[best])
+
+    @property
+    def dead_ratio(self) -> float:
+        return (1.0 - float(self._alive_np.sum()) / self.n) if self.n \
+            else 0.0
+
+    def compact(self) -> int:
+        """Physically remove tombstoned nodes: repair every touched
+        neighbor list by splicing in the dead neighbor's alive neighbors
+        (back-link repair, pruned to capacity), then renumber rows. The
+        reference's neurandefrag/bulkdelete analog. Returns #removed."""
+        dead = ~self._alive_np
+        ndead = int(dead.sum())
+        if ndead == 0:
+            return 0
+        n = self.n
+        alive_rows = np.where(~dead)[0]
+        nbr0 = np.array(self._nbr0[:n])                    # host copy
+        vec_np = np.asarray(self._vecs[:n], np.float32)
+        # --- level-0 repair: one-hop splice through dead neighbors ---
+        nbr0 = self._repair_adjacency(nbr0, dead, vec_np,
+                                      rowmap=None, cap=2 * self.m)
+        # --- renumber ---
+        newpos = np.full(n, -1, np.int64)
+        newpos[alive_rows] = np.arange(len(alive_rows))
+        nbr0_l = nbr0[alive_rows]
+        nbr0_l = np.where(nbr0_l >= 0, newpos[np.maximum(nbr0_l, 0)], -1)
+        nbr0_l = np.where(nbr0_l >= 0, nbr0_l, -1).astype(np.int32)
+        x_l = vec_np[alive_rows]
+        ids_l = self._ids_np[alive_rows]
+        levels_l = self._levels_np[alive_rows]
+        # --- upper levels: filter members, repair, remap ---
+        uppers_new = []
+        for l, u in enumerate(self._upper, start=1):
+            nodes = np.asarray(u["nodes"][: u["n"]])
+            nbr = np.array(u["nbr"][: u["n"]])
+            keep_loc = np.where(self._alive_np[nodes])[0]
+            if len(keep_loc) == 0:
+                break      # levels are nested: higher ones are empty too
+            dead_loc = ~self._alive_np[nodes]
+            nbr = self._repair_adjacency(nbr, dead_loc, vec_np,
+                                         rowmap=nodes, cap=self.m)
+            # remap locals
+            locpos = np.full(u["n"], -1, np.int64)
+            locpos[keep_loc] = np.arange(len(keep_loc))
+            nbr_l = nbr[keep_loc]
+            nbr_l = np.where(nbr_l >= 0, locpos[np.maximum(nbr_l, 0)], -1)
+            nodes_l = newpos[nodes[keep_loc]].astype(np.int32)
+            uppers_new.append((nodes_l, nbr_l.astype(np.int32)))
+        # --- rebuild device state ---
+        meta_upper = {"num_upper": len(uppers_new)}
+        arrays = {"vecs": x_l, "nbr0": nbr0_l, "ids": ids_l,
+                  "levels": levels_l}
+        for l, (nodes_l, nbr_l) in enumerate(uppers_new, start=1):
+            arrays[f"u{l}_nodes"] = nodes_l
+            arrays[f"u{l}_nbr"] = nbr_l
+        entry_new = int(newpos[self.entry]) if (
+            self.entry >= 0 and self._alive_np[self.entry]) else -1
+        meta = {"metric": self.metric, "dim": self.dim, "m": self.m,
+                "ef_construction": self.ef_construction,
+                "ef_search": self.ef_search, "ml": self.ml,
+                "n": len(alive_rows), "entry": entry_new,
+                "entry_level": self.entry_level if entry_new >= 0 else -1,
+                "seed": self._seed, "heuristic": self._heuristic,
+                **meta_upper}
+        self._load_state(arrays, meta)
+        if self.entry < 0 and self.n:
+            self._promote_entry()
+        return ndead
+
+    def _repair_adjacency(self, nbr: np.ndarray, dead_rows: np.ndarray,
+                          vec_np: np.ndarray, rowmap, cap: int
+                          ) -> np.ndarray:
+        """For every node with >=1 dead neighbor: candidates = alive
+        neighbors + dead neighbors' alive neighbors (one-hop splice),
+        pruned to ``cap`` by the configured selection policy — the same
+        diversity heuristic the build uses, or closest-only in reference
+        mode. ``nbr`` holds local rows when ``rowmap`` (local -> vector
+        row) is given, else vector rows."""
+        valid = nbr >= 0
+        is_dead = np.zeros_like(valid)
+        is_dead[valid] = dead_rows[nbr[valid]]
+        touched = np.where(is_dead.any(axis=1))[0]
+        if len(touched) == 0:
+            return nbr
+        out = nbr.copy()
+        back = None
+        if rowmap is not None:
+            back = np.full(vec_np.shape[0], -1, np.int64)
+            back[rowmap] = np.arange(len(rowmap))
+        chunk = 2048
+        for s in range(0, len(touched), chunk):
+            rows_c = touched[s:s + chunk]
+            C = len(rows_c)
+            nb = nbr[rows_c]                              # [C, deg]
+            nb_dead = is_dead[rows_c]
+            alive_nb = np.where((nb >= 0) & ~nb_dead, nb, -1)
+            # one-hop splice: neighbors of dead neighbors
+            dn = np.where(nb_dead, nb, 0)
+            hop = nbr[dn]                                 # [C, deg, deg]
+            hop = np.where(nb_dead[:, :, None], hop, -1)
+            hop_valid = hop >= 0
+            hop_alive = np.zeros_like(hop_valid)
+            hop_alive[hop_valid] = ~dead_rows[hop[hop_valid]]
+            hop = np.where(hop_valid & hop_alive, hop, -1)
+            cand = np.concatenate([alive_nb, hop.reshape(C, -1)], axis=1)
+            vrows = rows_c if rowmap is None else rowmap[rows_c]
+            crows = cand if rowmap is None else np.where(
+                cand >= 0, rowmap[np.maximum(cand, 0)], -1)
+            crows = np.where(crows == vrows[:, None], -1, crows)  # no self
+            # pad the chunk to a fixed shape (bounded compile count)
+            pad = chunk - C
+            if pad:
+                vrows_p = np.concatenate([vrows, np.full(pad, vrows[-1])])
+                crows_p = np.concatenate(
+                    [crows, np.repeat(crows[-1:], pad, axis=0)])
+            else:
+                vrows_p, crows_p = vrows, crows
+            vv = jnp.asarray(vec_np[vrows_p])
+            cj = jnp.asarray(crows_p.astype(np.int32))
+            if cj.shape[1] > 6 * cap:      # bound the heuristic's O(C^2)
+                cj = _prune_closest(vv, cj, self._vecs, self._sqnorms,
+                                    metric=self._imetric, cap=6 * cap)
+            if self._heuristic:
+                sel_g = _select_neighbors_heuristic(
+                    vv, cj, self._vecs, self._sqnorms,
+                    metric=self._imetric, cap=cap)
+            else:
+                sel_g = _prune_closest(vv, cj, self._vecs, self._sqnorms,
+                                       metric=self._imetric, cap=cap)
+            sel = np.asarray(sel_g)[:C].astype(np.int64)
+            if rowmap is None:
+                out[rows_c] = sel
+            else:
+                out[rows_c] = np.where(sel >= 0,
+                                       back[np.maximum(sel, 0)], -1)
+        return out
+
     # ---- search ----
     def search(self, queries, k: int = 10, *, ef: Optional[int] = None,
                max_steps: Optional[int] = None, batch: Optional[int] = None,
@@ -795,11 +960,22 @@ class HNSWIndex(BaseIndex):
                 qb, jnp.int32(self.entry), self._vecs, self._sqnorms,
                 self._nbr0, uppers, graph_top=self.entry_level, ef=ef,
                 max_steps=steps, metric=self._imetric, expand=expand)
-            outs_d.append(np.asarray(bd[:nb, :k]))
-            outs_i.append(np.asarray(bi[:nb, :k]))
+            keep = ef if not self._alive_np.all() else k
+            outs_d.append(np.asarray(bd[:nb, :keep]))
+            outs_i.append(np.asarray(bi[:nb, :keep]))
         dists = np.concatenate(outs_d) if len(outs_d) > 1 else outs_d[0]
         rows = np.concatenate(outs_i) if len(outs_i) > 1 else outs_i[0]
-        dists = self._postprocess_dist(np.asarray(dists))
+        dists = np.asarray(dists)
+        if not self._alive_np.all():
+            # tombstones: deleted nodes were traversable but must never
+            # be returned — mask and re-rank within the ef beam
+            dead = (rows < 0) | ~self._alive_np[np.maximum(rows, 0)]
+            dists = np.where(dead, np.inf, dists)
+            rows = np.where(dead, -1, rows)
+            order = np.argsort(dists, axis=1, kind="stable")[:, :k]
+            dists = np.take_along_axis(dists, order, axis=1)
+            rows = np.take_along_axis(rows, order, axis=1)
+        dists = self._postprocess_dist(dists)
         ids = np.where(rows >= 0, self._ids_np[np.maximum(rows, 0)], -1)
         return (dists[0], ids[0]) if single else (dists, ids)
 
@@ -817,6 +993,7 @@ class HNSWIndex(BaseIndex):
             "nbr0": self._nbr0[: self.n],
             "ids": self._ids_np,
             "levels": self._levels_np,
+            "alive": self._alive_np,
         }
         for l, u in enumerate(self._upper, start=1):
             arrays[f"u{l}_nodes"] = u["nodes"][: u["n"]]
@@ -855,6 +1032,8 @@ class HNSWIndex(BaseIndex):
         self._nbr0 = self._nbr0.at[:n].set(jnp.asarray(arrays["nbr0"]))
         self._ids_np = np.asarray(arrays["ids"])
         self._levels_np = np.asarray(arrays["levels"])
+        self._alive_np = (np.asarray(arrays["alive"], bool)
+                          if "alive" in arrays else np.ones(n, bool))
         self._upper = []
         for l in range(1, meta["num_upper"] + 1):
             nodes = np.asarray(arrays[f"u{l}_nodes"])

@@ -43,6 +43,9 @@ from neurondb_tpu.ops import distance as D
 from neurondb_tpu.ops import topk as TK
 
 SEGMENT = 512  # rows gathered per probe step; tuned for VMEM residency
+# vector-block tail padding must satisfy the largest kernel segment (the
+# grouped kernel DMAs 1024-row segments; ops/pallas/ivf_scan_grouped.SEG)
+PAD_SEG = 1024
 
 
 @functools.partial(
@@ -106,6 +109,23 @@ def _ivf_search_device(
 
 @functools.partial(jax.jit,
                    static_argnames=("nprobe", "metric", "nprobe_pad"))
+def _ivf_coarse_ids(q, centroids, *, nprobe: int, metric: str,
+                    nprobe_pad: int):
+    """Coarse stage for the grouped kernel: centroid scores ->
+    top-nprobe LIST IDS, padded with the sentinel id ``nlists`` (the
+    grouped pipeline maps sentinel tuples to dead tiles)."""
+    cd = D.pairwise_distance(
+        q, centroids, "sqeuclidean" if metric != "ip" else "ip")
+    _, probes = TK.topk_smallest(cd, nprobe)               # [B, nprobe]
+    probes = probes.astype(jnp.int32)
+    if nprobe_pad > nprobe:
+        probes = jnp.pad(probes, ((0, 0), (0, nprobe_pad - nprobe)),
+                         constant_values=centroids.shape[0])
+    return probes
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nprobe", "metric", "nprobe_pad"))
 def _ivf_coarse(q, centroids, offsets, counts, *, nprobe: int, metric: str,
                 nprobe_pad: int):
     """Coarse stage: centroid scores -> top-nprobe probe offsets/counts,
@@ -131,6 +151,42 @@ def _ivf_post(vals, rows, row_ids, *, metric: str):
         vals = vals * 0.5
     vals = jnp.where(ids >= 0, vals, TK.NEG_FILL)
     return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "nprobe_pad"))
+def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
+                        nprobe, *, k: int, metric: str, nprobe_pad: int):
+    """TPU fast path (round 2): coarse centroid stage -> list-grouped
+    fused scan (ops/pallas/ivf_scan_grouped.py) -> merge + id map, all as
+    ONE jit. One posting-list DMA serves a whole tile of queries (vs one
+    DMA per query in round 1), and the single dispatch matters on this
+    backend: each jit call costs ~29 ms of tunnel round-trip, so the
+    round-1 chain of 5 dispatches was latency-bound.
+
+    ``nprobe`` is a TRACED scalar: the coarse stage always takes
+    top-``nprobe_pad`` centroids and masks columns >= nprobe to the
+    sentinel list, so every nprobe in a pad bucket shares one
+    compilation (fresh compiles cost 20-40 s through the tunnel)."""
+    from neurondb_tpu.ops.pallas import ivf_scan_grouped as G
+    npad = nprobe_pad
+    nlists = counts.shape[0]
+    cd = D.pairwise_distance(
+        q, centroids, "sqeuclidean" if metric != "ip" else "ip")
+    _, probes = TK.topk_smallest(cd, npad)
+    probes = probes.astype(jnp.int32)
+    col = jnp.arange(npad, dtype=jnp.int32)[None, :]
+    probes = jnp.where(col < nprobe, probes, nlists)
+    B = q.shape[0]
+    t_max = G.tiles_for(B, npad, nlists)
+    kp = max(8, min(k, G.SEG))
+    tile_off, tile_cnt, pos = G.group_probes(
+        probes, offsets, counts, qt=G.QT, t_max=t_max)
+    qpad = G._scatter_tuples(q, pos, npad=npad, qt=G.QT, t_max=t_max)
+    out_d, out_i = G.grouped_probe_scan(
+        qpad, vecs, tile_off, tile_cnt, kp=kp,
+        metric="ip" if metric == "ip" else "sqeuclidean")
+    vals, rows = G.merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)
+    return _ivf_post(vals, rows, row_ids, metric=metric)
 
 
 def _ivf_search_pallas(q, centroids, vecs, row_ids, offsets, counts, *,
@@ -207,13 +263,14 @@ class IVFFlatIndex(BaseIndex):
         # kernel masks by cnt and the XLA path by row bounds.
         A = self.LIST_ALIGN
         aligned = ((counts + A - 1) // A) * A
+        self._region = aligned           # per-list row capacity (delete)
         offsets = np.zeros(self.nlists, np.int32)
         np.cumsum(aligned[:-1], out=offsets[1:])
         total = int(aligned.sum())
         n = x.shape[0]
-        # +SEGMENT: every per-list segment DMA stays in bounds
-        # (ops/pallas/ivf_scan.py caller contract)
-        npad = max(1, -(-total // SEGMENT) * SEGMENT) + SEGMENT
+        # +PAD_SEG: every per-list segment DMA stays in bounds
+        # (ops/pallas/ivf_scan*.py caller contract)
+        npad = max(1, -(-total // PAD_SEG) * PAD_SEG) + PAD_SEG
         xo = x[order]
         xp = np.zeros((npad, x.shape[1]), np.float32)
         src = np.zeros(self.nlists + 1, np.int64)
@@ -247,8 +304,10 @@ class IVFFlatIndex(BaseIndex):
             self._host_id_map = True
         self._offsets = jnp.asarray(offsets)
         self._counts = jnp.asarray(counts)
+        self._counts_np = counts.copy()
         self.max_list = int(counts.max()) if n else 1
         self._labels = labels
+        self._dead = np.zeros(n, bool)   # tombstones over self._x rows
 
     # ---- mutation (lazy-list parity) ----
     def add(self, vectors, ids=None) -> np.ndarray:
@@ -264,12 +323,80 @@ class IVFFlatIndex(BaseIndex):
         self._spill.append((v, new_ids))
         return new_ids
 
+    def delete(self, ids) -> int:
+        """In-place delete: compact each affected posting list within its
+        aligned region and shrink its count — no full rebuild. Mirrors the
+        reference's ivf vacuum removing entries from list pages
+        (NeuronDB/src/index/ivf_am.c bulkdelete path). Returns the number
+        of vectors removed."""
+        drop = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
+        removed = 0
+        # spill buffer (not yet in lists): plain host filter
+        new_spill = []
+        for v, sid in self._spill:
+            keep = ~np.isin(sid, drop)
+            removed += int((~keep).sum())
+            if keep.any():
+                new_spill.append((v[keep], sid[keep]))
+        self._spill = new_spill
+        mask = np.isin(self._ids, drop) & ~self._dead
+        hit = int(mask.sum())
+        removed += hit
+        if hit == 0:
+            self.n = int((~self._dead).sum()) + sum(
+                len(i) for _, i in self._spill)
+            return removed
+        self._dead |= mask
+        affected = np.unique(self._labels[mask])
+        offsets = np.asarray(self._offsets)
+        pos_upd: list = []
+        row_upd: list = []
+        for lid in affected:
+            members = np.where((self._labels == lid) & ~self._dead)[0]
+            o = int(offsets[lid])
+            self._counts_np[lid] = len(members)
+            pos_upd.append(o + np.arange(len(members), dtype=np.int32))
+            row_upd.append(members)
+        self._counts = jnp.asarray(self._counts_np)
+        pos = np.concatenate(pos_upd) if pos_upd else np.zeros(0, np.int32)
+        rowsrc = np.concatenate(row_upd) if row_upd else np.zeros(0, np.int64)
+        if len(pos):
+            # pad the scatter to a power of two (repeat-last; duplicate
+            # rows write identical values) to bound compile shapes
+            p2 = 1 << max(int(len(pos) - 1).bit_length(), 4)
+            padn = p2 - len(pos)
+            if padn:
+                pos = np.concatenate([pos, np.full(padn, pos[-1], np.int32)])
+                rowsrc = np.concatenate(
+                    [rowsrc, np.full(padn, rowsrc[-1], rowsrc.dtype)])
+            pj = jnp.asarray(pos)
+            xv = jnp.asarray(self._x[rowsrc])
+            self._vecs = self._vecs.at[pj].set(xv.astype(self._vecs.dtype))
+            self._sqnorms = self._sqnorms.at[pj].set(jnp.sum(xv * xv, axis=1))
+            self._row_ids = self._row_ids.at[pj].set(
+                jnp.asarray(rowsrc.astype(np.int32)))
+            if self._host_id_map is None:
+                self._ext_ids = self._ext_ids.at[pj].set(
+                    jnp.asarray(self._ids[rowsrc].astype(np.int32)))
+            else:
+                self._ext_ids = self._row_ids
+        self.n = int((~self._dead).sum()) + sum(
+            len(i) for _, i in self._spill)
+        return removed
+
+    @property
+    def dead_ratio(self) -> float:
+        total = len(self._x)
+        return float(self._dead.sum()) / total if total else 0.0
+
     def rebuild_lists(self) -> None:
-        """Fold spill buffer into the posting lists (defrag/compaction)."""
-        if not self._spill:
+        """Fold spill buffer into the posting lists and drop tombstones
+        (defrag/compaction)."""
+        if not self._spill and not self._dead.any():
             return
-        vs = np.concatenate([self._x] + [v for v, _ in self._spill])
-        ids = np.concatenate([self._ids] + [i for _, i in self._spill])
+        keep = ~self._dead
+        vs = np.concatenate([self._x[keep]] + [v for v, _ in self._spill])
+        ids = np.concatenate([self._ids[keep]] + [i for _, i in self._spill])
         self._x, self._ids = vs, ids
         self.n = len(vs)
         self._spill = []
@@ -277,7 +404,12 @@ class IVFFlatIndex(BaseIndex):
 
     # ---- search ----
     def search(self, queries, k: int = 10, *, nprobe: Optional[int] = None,
+               out: str = "numpy",
                **kw) -> Tuple[np.ndarray, np.ndarray]:
+        """``out="device"`` returns jax arrays without forcing a host
+        sync, so a caller can pipeline many batches (each host sync on
+        this backend costs ~29 ms of tunnel latency). Device mode
+        requires no spill buffer and int32-safe external ids."""
         cfg = get_config()
         nprobe = int(nprobe if nprobe is not None else cfg.ivf_nprobe)
         nprobe = max(1, min(nprobe, self.nlists))
@@ -290,26 +422,40 @@ class IVFFlatIndex(BaseIndex):
                       and jax.default_backend() == "tpu"
                       and q.shape[1] % 128 == 0)
         if use_pallas:
-            # bucket nprobe AND max_segs so sweeps and datasets with
-            # similar list lengths reuse one kernel compilation
+            # bucket nprobe so sweeps reuse one kernel compilation
             npad = 1
             while npad < nprobe:
                 npad *= 4
-            npad = min(max(npad, 16), self.nlists)
-            segs_b = 1
-            while segs_b < max_segs:
-                segs_b *= 2
-            vals, ids = _ivf_search_pallas(
-                q, self.centroids, self._vecs, self._ext_ids,
-                self._offsets, self._counts,
-                k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
-                max_segs=segs_b, nprobe_pad=max(npad, nprobe))
+            npad = min(max(npad, 4), self.nlists)
+            import os
+            if os.environ.get("NEURONDB_TPU_IVF_KERNEL", "grouped") == \
+                    "grouped":
+                vals, ids = _ivf_search_grouped(
+                    q, self.centroids, self._vecs, self._ext_ids,
+                    self._offsets, self._counts, jnp.int32(nprobe),
+                    k=min(k, max(self.n, 1)),
+                    metric=self.metric, nprobe_pad=max(npad, nprobe))
+            else:     # round-1 per-query-DMA kernel (fallback)
+                segs_b = 1
+                while segs_b < max_segs:
+                    segs_b *= 2
+                vals, ids = _ivf_search_pallas(
+                    q, self.centroids, self._vecs, self._ext_ids,
+                    self._offsets, self._counts,
+                    k=min(k, max(self.n, 1)), nprobe=nprobe,
+                    metric=self.metric, max_segs=segs_b,
+                    nprobe_pad=max(npad, 16))
         else:
             vals, ids = _ivf_search_device(
                 q, self.centroids, self._vecs, self._sqnorms, self._ext_ids,
                 self._offsets, self._counts,
                 k=min(k, max(self.n, 1)), nprobe=nprobe, metric=self.metric,
                 max_segs=max_segs, segment=SEGMENT)
+        if out == "device":
+            if self._spill or self._host_id_map is not None or single:
+                raise ValueError("device output requires a batch query, "
+                                 "no spill buffer, and int32 ids")
+            return vals, ids
         vals, ids = np.asarray(vals), np.asarray(ids)
         if self._host_id_map is not None:   # rows -> int64 external ids
             ids = np.where(ids >= 0, self._ids[np.maximum(ids, 0)], -1)

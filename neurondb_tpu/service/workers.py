@@ -193,3 +193,21 @@ class DefragWorker:
             self.runs.append({"ts": time.time(), "kind": "ivf_rebuild"})
             return True
         return False
+
+    def maybe_vacuum(self, index) -> bool:
+        """Physically remove tombstoned entries once the dead ratio
+        crosses the threshold (hnsw_am.c bulkdelete / neurandefrag
+        compaction parity): HNSW.compact() repairs back-links in place;
+        IVF rebuild_lists() drops dead rows from its posting lists."""
+        ratio = getattr(index, "dead_ratio", 0.0)
+        if ratio < self.tombstone_ratio or not self.window():
+            return False
+        t0 = time.time()
+        if hasattr(index, "compact"):
+            removed = index.compact()
+        else:
+            index.rebuild_lists()
+            removed = -1
+        self.runs.append({"ts": t0, "seconds": time.time() - t0,
+                          "kind": "index_vacuum", "removed": removed})
+        return True

@@ -82,3 +82,103 @@ def test_probe_scan_ip_metric(ivf_layout, rng):
     rd, ri = ivf_probe_scan_reference(q, qsq, vecs, poff, pcnt, k=k,
                                       metric="ip")
     np.testing.assert_allclose(np.asarray(d), rd, rtol=1e-3, atol=1e-3)
+
+
+# ---- round-2 list-grouped kernel (ops/pallas/ivf_scan_grouped.py) ----
+
+from neurondb_tpu.ops.pallas.ivf_scan_grouped import (
+    ivf_grouped_search, ivf_grouped_search_reference, group_probes,
+    tiles_for, QT)
+from neurondb_tpu.ops.pallas.ivf_scan_grouped import SEG as GSEG
+
+
+@pytest.fixture(scope="module")
+def grouped_layout(rng):
+    lens = [700, 512, 100, 1500, 3, 200, 0, 64]
+    aligned = [(-(-l // 32)) * 32 for l in lens]
+    offsets = np.cumsum([0] + aligned[:-1]).astype(np.int32)
+    total = sum(aligned)
+    npad = -(-total // GSEG) * GSEG + GSEG
+    vecs = rng.standard_normal((npad, 128)).astype(np.float32)
+    return vecs, offsets, np.asarray(lens, np.int32)
+
+
+def _mk_probes(rng, B, npadp, nlists):
+    probes = rng.integers(0, nlists, (B, npadp)).astype(np.int32)
+    for b in range(B):            # dedupe; dupes would double candidates
+        seen = set()
+        for j in range(npadp):
+            if int(probes[b, j]) in seen:
+                probes[b, j] = nlists       # sentinel
+            seen.add(int(probes[b, j]))
+    return probes
+
+
+def test_grouped_scan_matches_reference(grouped_layout, rng):
+    vecs, offsets, counts = grouped_layout
+    B, npadp, k = 24, 4, 10
+    nlists = len(counts)
+    q = rng.standard_normal((B, 128)).astype(np.float32)
+    probes = _mk_probes(rng, B, npadp, nlists)
+    probes[5, 2:] = nlists                 # padded probe slots
+    d, rows = ivf_grouped_search(
+        jnp.asarray(q), jnp.asarray(probes), jnp.asarray(vecs),
+        jnp.asarray(offsets), jnp.asarray(counts), k=k, interpret=True)
+    rd, ri = ivf_grouped_search_reference(q, probes, vecs, offsets,
+                                          counts, k=k)
+    d, rows = np.asarray(d), np.asarray(rows)
+    live = rd < 1e30
+    np.testing.assert_allclose(d[live], rd[live], rtol=1e-3, atol=1e-3)
+    assert (rows == ri).all()
+
+
+def test_grouped_scan_ip(grouped_layout, rng):
+    vecs, offsets, counts = grouped_layout
+    B, k = 16, 5
+    nlists = len(counts)
+    q = rng.standard_normal((B, 128)).astype(np.float32)
+    probes = _mk_probes(rng, B, 4, nlists)
+    d, rows = ivf_grouped_search(
+        jnp.asarray(q), jnp.asarray(probes), jnp.asarray(vecs),
+        jnp.asarray(offsets), jnp.asarray(counts), k=k, metric="ip",
+        interpret=True)
+    rd, ri = ivf_grouped_search_reference(q, probes, vecs, offsets,
+                                          counts, k=k, metric="ip")
+    live = rd < 1e30
+    np.testing.assert_allclose(np.asarray(d)[live], rd[live],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_grouped_scan_all_sentinel(grouped_layout, rng):
+    vecs, offsets, counts = grouped_layout
+    nlists = len(counts)
+    q = rng.standard_normal((4, 128)).astype(np.float32)
+    probes = np.full((4, 4), nlists, np.int32)
+    d, rows = ivf_grouped_search(
+        jnp.asarray(q), jnp.asarray(probes), jnp.asarray(vecs),
+        jnp.asarray(offsets), jnp.asarray(counts), k=5, interpret=True)
+    assert (np.asarray(rows) == -1).all()
+
+
+def test_group_probes_tiling_invariants(grouped_layout, rng):
+    """Every tuple gets a unique padded slot; a tile never mixes lists."""
+    _, offsets, counts = grouped_layout
+    nlists = len(counts)
+    B, npadp = 64, 8
+    probes = rng.integers(0, nlists + 1, (B, npadp)).astype(np.int32)
+    t_max = tiles_for(B, npadp, nlists)
+    tile_off, tile_cnt, pos = group_probes(
+        jnp.asarray(probes), jnp.asarray(offsets), jnp.asarray(counts),
+        qt=QT, t_max=t_max)
+    pos = np.asarray(pos)
+    assert len(np.unique(pos)) == pos.size          # unique slots
+    tile_of = pos // QT
+    flat = probes.reshape(-1)
+    tile_off = np.asarray(tile_off)
+    off_ext = np.concatenate([offsets, [0]])
+    for i in range(len(flat)):                      # tile serves my list
+        if flat[i] < nlists:
+            assert tile_off[tile_of[i]] == offsets[flat[i]]
+            assert np.asarray(tile_cnt)[tile_of[i]] == counts[flat[i]]
+        else:
+            assert np.asarray(tile_cnt)[tile_of[i]] == 0
