@@ -201,6 +201,89 @@ class CrossEncoder:
         return np.asarray(out["score"])
 
 
+class PretrainedEmbedder:
+    """Sentence embedder over REAL exported weights (scripts/export_hf.py
+    output dir: weights.npz + vocab.txt + config.json): WordPiece
+    tokenization + HF-compatible BERT encoder + masked mean pooling +
+    L2 norm (sentence-transformers semantics). The engine-side half of
+    the reference's HF runtime (gpu_hf_kernels.cu / neurondb_hf.c)."""
+
+    def __init__(self, weights_dir: str, *, max_len: int = 128,
+                 use_flash: Optional[bool] = None):
+        import json
+        import os
+        from neurondb_tpu.ml.bert import load_bert_npz
+        from neurondb_tpu.ml.tokenizer import WordPieceTokenizer
+        with open(os.path.join(weights_dir, "config.json")) as f:
+            cfg = json.load(f)
+        self.params = load_bert_npz(os.path.join(weights_dir,
+                                                 "weights.npz"))
+        self.tok = WordPieceTokenizer.from_file(
+            os.path.join(weights_dir, "vocab.txt"),
+            lowercase=cfg.get("lowercase", True))
+        self.heads = int(cfg["heads"])
+        self.max_len = min(max_len, int(cfg.get("max_len", 512)))
+        self.use_flash = (jax.default_backend() == "tpu"
+                          if use_flash is None else use_flash)
+
+    @property
+    def dim(self) -> int:
+        return self.params["tok_emb"].shape[1]
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        from neurondb_tpu.ml.bert import bert_encode
+        ids, types = self.tok.encode_batch(list(texts), self.max_len)
+        out = bert_encode(self.params, jnp.asarray(ids),
+                          jnp.asarray(types), heads=self.heads,
+                          use_flash=self.use_flash)
+        emb = np.asarray(out["mean_pooled"])
+        return emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                                1e-12)
+
+
+class PretrainedCrossEncoder:
+    """(query, doc) scorer over exported sequence-classification
+    weights (export_hf.py --cross-encoder)."""
+
+    def __init__(self, weights_dir: str, *, max_len: int = 256,
+                 use_flash: Optional[bool] = None):
+        import json
+        import os
+        from neurondb_tpu.ml.bert import load_bert_npz
+        from neurondb_tpu.ml.tokenizer import WordPieceTokenizer
+        with open(os.path.join(weights_dir, "config.json")) as f:
+            cfg = json.load(f)
+        self.params = load_bert_npz(os.path.join(weights_dir,
+                                                 "weights.npz"))
+        self.tok = WordPieceTokenizer.from_file(
+            os.path.join(weights_dir, "vocab.txt"),
+            lowercase=cfg.get("lowercase", True))
+        self.heads = int(cfg["heads"])
+        self.max_len = min(max_len, int(cfg.get("max_len", 512)))
+        self.use_flash = (jax.default_backend() == "tpu"
+                          if use_flash is None else use_flash)
+
+    def __call__(self, query: str, docs: Sequence[str]) -> np.ndarray:
+        from neurondb_tpu.ml.bert import bert_encode
+        enc = [self.tok.encode_pair(query, d, self.max_len) for d in docs]
+        ids = np.stack([e[0] for e in enc])
+        types = np.stack([e[1] for e in enc])
+        out = bert_encode(self.params, jnp.asarray(ids),
+                          jnp.asarray(types), heads=self.heads,
+                          use_flash=self.use_flash)
+        return np.asarray(out["score"])
+
+
+def default_embedder(*, dim: int = 256, seed: int = 0):
+    """PretrainedEmbedder when NEURONDB_TPU_WEIGHTS points at an export
+    dir; otherwise the deterministic offline TextEmbedder."""
+    import os
+    wdir = os.environ.get("NEURONDB_TPU_WEIGHTS")
+    if wdir and os.path.isfile(os.path.join(wdir, "weights.npz")):
+        return PretrainedEmbedder(wdir)
+    return TextEmbedder(dim=dim, seed=seed)
+
+
 def load_params_npz(path: str) -> Dict:
     """Load encoder params exported as flat npz (layer keys
     'layers.<i>.<name>'); the ONNX-export tooling counterpart."""

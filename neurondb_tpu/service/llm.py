@@ -68,9 +68,19 @@ class LocalProvider(BaseProvider):
 
     def _ensure(self):
         if self._embedder is None:
-            from neurondb_tpu.ml.transformer import CrossEncoder, TextEmbedder
-            self._embedder = TextEmbedder(dim=self._dim, seed=self._seed)
-            self._cross = CrossEncoder(dim=self._dim, seed=self._seed)
+            import os
+            from neurondb_tpu.ml.transformer import (
+                CrossEncoder, PretrainedCrossEncoder, TextEmbedder,
+                default_embedder)
+            # real MiniLM-class weights when an export dir is configured
+            # (scripts/export_hf.py), deterministic test double otherwise
+            self._embedder = default_embedder(dim=self._dim,
+                                              seed=self._seed)
+            wdir = os.environ.get("NEURONDB_TPU_CROSS_WEIGHTS")
+            if wdir and os.path.isfile(os.path.join(wdir, "weights.npz")):
+                self._cross = PretrainedCrossEncoder(wdir)
+            else:
+                self._cross = CrossEncoder(dim=self._dim, seed=self._seed)
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:
         self._ensure()
