@@ -42,7 +42,31 @@ class MCPServer:
         self._collections: Dict[str, Any] = {}
         self._registry_default_done = False
         self._middleware: List[Callable] = []
+        self._chain = None
         register_engine_tools(self)
+        from neurondb_tpu.service.mcp_tools_extra import (
+            register_extra_tools)
+        register_extra_tools(self)
+        # default chain mirrors NeuronMCP/internal/middleware: validation
+        # always on; auth/rate-limit/metrics/timeout/logging opt-in via
+        # use()
+        from neurondb_tpu.service.mcp_middleware import ValidationMiddleware
+        self.use(ValidationMiddleware(self._tools_schemas()))
+
+    def _tools_schemas(self) -> Dict[str, Dict]:
+        return {n: t["inputSchema"] for n, t in self._tools.items()}
+
+    def use(self, middleware: Callable) -> None:
+        """Append a middleware (called outermost-first on tools/call)."""
+        self._middleware.append(middleware)
+        self._chain = None
+
+    def _call_tool(self, name: str, args: Dict) -> Any:
+        if self._chain is None:
+            from neurondb_tpu.service.mcp_middleware import build_chain
+            self._chain = build_chain(
+                self._middleware, lambda n, a: self._handlers[n](a))
+        return self._chain(name, args)
 
     # ---- tool registration ----
     def register_tool(self, name: str, description: str,
@@ -90,7 +114,7 @@ class MCPServer:
                     return self._err(rid, METHOD_NOT_FOUND,
                                      f"unknown tool {name!r}")
                 args = params.get("arguments") or {}
-                out = self._handlers[name](args)
+                out = self._call_tool(name, args)
                 result = {"content": [{"type": "text",
                                        "text": json.dumps(out,
                                                           default=_jsonable)}]}
@@ -102,6 +126,9 @@ class MCPServer:
         except ValueError as e:
             return self._err(rid, INVALID_PARAMS, str(e))
         except Exception as e:  # noqa: BLE001
+            from neurondb_tpu.service.mcp_middleware import MCPError
+            if isinstance(e, MCPError):
+                return self._err(rid, e.code, str(e))
             return self._err(rid, INTERNAL_ERROR, str(e))
         return json.dumps({"jsonrpc": "2.0", "id": rid, "result": result})
 

@@ -1,0 +1,221 @@
+"""MCP round-2 parity: >=74 tools + middleware chain
+(NeuronMCP/internal/tools/register.go, internal/middleware/)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from neurondb_tpu.service.mcp import MCPServer
+from neurondb_tpu.service.mcp_middleware import (AUTH_ERROR, RATE_LIMITED,
+                                                 TIMEOUT_ERROR,
+                                                 AuthMiddleware,
+                                                 LoggingMiddleware,
+                                                 MetricsMiddleware,
+                                                 RateLimitMiddleware,
+                                                 TimeoutMiddleware)
+
+
+@pytest.fixture(scope="module")
+def srv():
+    return MCPServer()
+
+
+def rpc(server, method, params=None, rid=1):
+    return json.loads(server.handle(json.dumps(
+        {"jsonrpc": "2.0", "id": rid, "method": method,
+         "params": params or {}})))
+
+
+def call(server, name, args):
+    r = rpc(server, "tools/call", {"name": name, "arguments": args})
+    if "error" in r:
+        return r["error"]
+    return json.loads(r["result"]["content"][0]["text"])
+
+
+def test_tool_count_at_parity(srv):
+    tools = rpc(srv, "tools/list")["result"]["tools"]
+    assert len(tools) >= 74, f"only {len(tools)} tools"
+    # every tool has a schema and description
+    for t in tools:
+        assert t["description"] and "properties" in t["inputSchema"]
+
+
+def test_metric_search_variants(srv, rng):
+    v = rng.standard_normal((30, 8)).astype(np.float32).tolist()
+    for name in ("vector_search_l2", "vector_search_cosine",
+                 "vector_search_inner_product"):
+        out = call(srv, name, {"vectors": v, "vector": v[3], "k": 2})
+        assert out["ids"][0] == 3
+
+
+def test_vector_arithmetic_and_similarity(srv):
+    assert call(srv, "vector_arithmetic",
+                {"a": [1, 2], "b": [3, 4], "op": "add"})["result"] == \
+        [4.0, 6.0]
+    out = call(srv, "vector_similarity_unified", {"a": [1, 0], "b": [1, 0]})
+    assert out["cosine"]["similarity"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_vecmap_and_graph(srv):
+    assert call(srv, "vecmap_operations",
+                {"a": [1, 0, 2], "b": [1, 1, 0],
+                 "op": "inner_product"})["inner_product"] == 1.0
+    labels = call(srv, "vector_graph",
+                  {"n": 5, "edges": [[0, 1], [2, 3]],
+                   "op": "components"})["labels"]
+    assert labels[0] == labels[1] and labels[2] == labels[3]
+    assert labels[0] != labels[4]
+
+
+def test_embedding_model_crud(srv):
+    call(srv, "configure_embedding_model", {"name": "m1", "dim": 64})
+    assert call(srv, "get_embedding_model_config",
+                {"name": "m1"})["dim"] == 64
+    assert "m1" in call(srv, "list_embedding_model_configs", {})["models"]
+    call(srv, "delete_embedding_model_config", {"name": "m1"})
+    assert "m1" not in call(srv, "list_embedding_model_configs",
+                            {})["models"]
+    # default model is protected
+    err = call(srv, "delete_embedding_model_config", {"name": "default"})
+    assert "code" in err
+
+
+def test_index_lifecycle_and_delete(srv, rng):
+    v = rng.standard_normal((40, 8)).astype(np.float32).tolist()
+    call(srv, "create_hnsw_index", {"vectors": v, "collection": "t1",
+                                    "m": 4})
+    assert call(srv, "index_status", {"collection": "t1"})["kind"] == \
+        "hnsw"
+    assert call(srv, "delete_vectors",
+                {"collection": "t1", "ids": [1, 2]})["removed"] == 2
+    call(srv, "drop_index", {"collection": "t1"})
+    err = call(srv, "index_status", {"collection": "t1"})
+    assert "code" in err
+
+
+def test_search_orchestration_tools(srv, rng):
+    v = rng.standard_normal((30, 8)).astype(np.float32).tolist()
+    call(srv, "create_index", {"vectors": v, "collection": "s1",
+                               "documents": ["quick fox"] * 30})
+    out = call(srv, "semantic_keyword_search",
+               {"collection": "s1", "vector": v[0], "text": "fox",
+                "k": 3})
+    assert len(out["results"]) >= 1
+    out = call(srv, "temporal_vector_search",
+               {"collection": "s1", "vector": v[0],
+                "timestamps": list(np.arange(30.0)), "k": 3})
+    assert len(out["results"]) >= 1
+    out = call(srv, "multi_vector_search",
+               {"collection": "s1", "vectors": [v[0], v[1]], "k": 3})
+    assert out["results"]
+
+
+def test_rag_tools(srv):
+    n = call(srv, "process_document",
+             {"text": "the quick brown fox jumps over the lazy dog"})
+    assert n["chunks_indexed"] >= 1
+    ctx = call(srv, "retrieve_context", {"query": "fox", "k": 2})
+    assert ctx["contexts"]
+    gen = call(srv, "generate_response", {"prompt": "about the fox",
+                                          "use_rag": True})
+    assert gen["contexts_used"] >= 1
+
+
+def test_ml_lifecycle_tools(srv, rng):
+    X = rng.standard_normal((60, 4)).astype(np.float32)
+    y = (X @ np.arange(4)).astype(np.float32)
+    mid = call(srv, "ml_train",
+               {"project": "p", "algorithm": "linear_regression",
+                "X": X.tolist(), "y": y.tolist()})["model_id"]
+    info = call(srv, "ml_model_info", {"model_id": mid})
+    assert info["algorithm"] == "linear_regression"
+    out = call(srv, "ml_predict_batch",
+               {"model_id": mid, "batches": [X[:5].tolist()]})
+    assert len(out["predictions"][0]) == 5
+    call(srv, "ml_deploy_model", {"model_id": mid})
+    assert call(srv, "ml_model_info",
+                {"model_id": mid})["status"] == "deployed"
+    call(srv, "ml_delete_model", {"model_id": mid})
+    assert "code" in call(srv, "ml_model_info", {"model_id": mid})
+
+
+def test_admin_tools(srv):
+    assert call(srv, "engine_version", {})["backend"]
+    assert "hnsw_ef_search" in call(srv, "engine_settings", {})
+    assert "collections" in call(srv, "engine_collections", {})
+    assert call(srv, "worker_management", {"op": "status"})["queue"] is \
+        not None
+    onnx = call(srv, "onnx_run", {"model_path": "/none.onnx"})
+    assert onnx["available"] is False          # gated, not faked
+
+
+def test_quality_metrics_tool(srv):
+    out = call(srv, "quality_metrics",
+               {"retrieved": [1, 2, 3], "relevant": [2, 3, 4]})
+    assert out["recall"] == pytest.approx(2 / 3)
+    assert 0 < out["ndcg"] <= 1
+
+
+# ---------------------------------------------------------------------------
+# middleware
+# ---------------------------------------------------------------------------
+
+def test_auth_middleware():
+    s = MCPServer()
+    s.use(AuthMiddleware(["sekret"]))
+    err = call(s, "engine_version", {})
+    assert err["code"] == AUTH_ERROR
+    ok = call(s, "engine_version", {"_meta": {"api_key": "sekret"}})
+    assert ok["backend"]
+    bad = call(s, "engine_version", {"_meta": {"api_key": "wrong"}})
+    assert bad["code"] == AUTH_ERROR
+
+
+def test_rate_limit_middleware():
+    clock = [0.0]
+    s = MCPServer()
+    s.use(RateLimitMiddleware(qps=1.0, burst=2,
+                              clock=lambda: clock[0]))
+    assert "backend" in call(s, "engine_version", {})
+    assert "backend" in call(s, "engine_version", {})
+    assert call(s, "engine_version", {})["code"] == RATE_LIMITED
+    clock[0] += 5.0                           # refill
+    assert "backend" in call(s, "engine_version", {})
+
+
+def test_logging_and_metrics_middleware():
+    s = MCPServer()
+    log = LoggingMiddleware()
+    met = MetricsMiddleware()
+    s.use(log)
+    s.use(met)
+    call(s, "engine_version", {})
+    # validation (registered first) rejects BEFORE logging sees the
+    # call; an error inside a tool is what logging must capture
+    call(s, "index_status", {"collection": "no-such"})
+    assert len(log.records) == 2
+    assert log.records[0]["ok"] and not log.records[1]["ok"]
+    text = met.registry.prometheus_text()
+    assert "mcp_tool_calls_total" in text
+
+
+def test_timeout_middleware():
+    s = MCPServer()
+    s.use(TimeoutMiddleware(seconds=0.05))
+    import time as _t
+    s.register_tool("sleepy", "sleeps", {"type": "object",
+                                         "properties": {}},
+                    lambda a: _t.sleep(1.0))
+    s._chain = None
+    err = call(s, "sleepy", {})
+    assert err["code"] == TIMEOUT_ERROR
+
+
+def test_validation_middleware_types():
+    s = MCPServer()
+    err = call(s, "vector_similarity", {"a": [1, 0]})   # missing b
+    assert err["code"] == -32602
+    err = call(s, "vector_similarity", {"a": "nope", "b": [1]})
+    assert err["code"] == -32602
