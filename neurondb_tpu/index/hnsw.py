@@ -293,6 +293,209 @@ def _select_neighbors_heuristic(vvecs, cand, vecs, sqnorms, *,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("m", "cap", "metric", "heuristic",
+                                    "slab"),
+                   donate_argnums=(0,))
+def _link_level0_device(nbr0, rows, sel0, w_real, vecs, sqnorms, *, m: int,
+                        cap: int, metric: str, heuristic: bool,
+                        slab: int = 2048):
+    """Whole level-0 link phase of one wave as ONE device program
+    (round 1 ran this on the host with per-edge Python loops and several
+    device round-trips per wave — the measured build bottleneck,
+    IMPLEMENTATION_NOTES r1).
+
+    1. write each new node's own selected-m list;
+    2. group the W*m reverse edges by target with the sort/segment trick
+       (same pattern as the IVF grouped kernel's probe grouping);
+    3. re-prune every touched target's list to capacity with the same
+       selection policy as the build, slab by slab;
+    4. scatter the pruned lists back. ``nbr0`` is donated: XLA updates
+       the [Ncap, 2M] adjacency in place.
+
+    rows [W] global rows; sel0 [W, m] global rows (-1 pad). Rows at
+    index >= w_real are wave padding (repeat-last): their own-list write
+    is an identical duplicate (safe), but their reverse edges must be
+    suppressed or the last real row's edges double.
+    """
+    W = rows.shape[0]
+    ncap = nbr0.shape[0]
+    row_ok = (jnp.arange(W, dtype=jnp.int32) < w_real)[:, None]
+    # pad rows duplicate the last real row's GLOBAL row; their wave-search
+    # selection contains that row itself (zero-distance intra-wave
+    # candidate), so writing their own list would create a self-loop —
+    # drop them from the scatter entirely
+    own = jnp.full((W, cap), -1, jnp.int32).at[:, :m].set(sel0)
+    rows_w = jnp.where(row_ok[:, 0], rows, ncap)
+    nbr0 = nbr0.at[rows_w].set(own, mode="drop")
+
+    G = W * m
+    sent = jnp.int32(ncap)
+    vflat = jnp.where(row_ok & (sel0 >= 0), sel0, -1).reshape(G)
+    v = jnp.where(vflat >= 0, vflat, sent)
+    u = jnp.repeat(rows, m)
+    order = jnp.argsort(v, stable=True)
+    sv = v[order]
+    su = u[order]
+    idx = jnp.arange(G, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones(1, bool), sv[1:] != sv[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - seg_start
+    gid = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    maxnew = 2 * cap
+    tgt = jnp.full((G,), sent, jnp.int32).at[gid].set(
+        sv, mode="drop")                               # group -> target
+    su_m = jnp.where(sv < sent, su, -1)
+    newmat = jnp.full((G, maxnew), -1, jnp.int32).at[gid, rank].set(
+        su_m, mode="drop")                             # overflow dropped
+
+    nslab = -(-G // slab)
+    gpad = nslab * slab
+    if gpad > G:
+        tgt = jnp.pad(tgt, (0, gpad - G), constant_values=ncap)
+        newmat = jnp.pad(newmat, ((0, gpad - G), (0, 0)),
+                         constant_values=-1)
+
+    def slab_step(carry, s):
+        nb = carry
+        tg = jax.lax.dynamic_slice(tgt, (s * slab,), (slab,))
+        nm = jax.lax.dynamic_slice(newmat, (s * slab, 0), (slab, maxnew))
+        tgs = jnp.minimum(tg, ncap - 1)
+        existing = nb[tgs]                             # [S, cap]
+        cand = jnp.concatenate([existing, nm], axis=1)
+        # a target's own row must never enter its list (intra-wave edges
+        # can propose it); dedup of existing-vs-new is unnecessary — the
+        # prune keeps one copy ranked first and duplicates cost a slot
+        # only in the rare both-directions case
+        cand = jnp.where(cand == tg[:, None], -1, cand)
+        vv = vecs[tgs].astype(jnp.float32)
+        if heuristic:
+            lists = _select_neighbors_heuristic(
+                vv, cand, vecs, sqnorms, metric=metric, cap=cap)
+        else:
+            lists = _prune_closest(
+                vv, cand, vecs, sqnorms, metric=metric, cap=cap)
+        nb = nb.at[tg].set(lists, mode="drop")         # sentinel dropped
+        return nb, None
+
+    nbr0, _ = jax.lax.scan(slab_step, nbr0, jnp.arange(nslab))
+    return nbr0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "cap", "metric", "heuristic",
+                                    "slab"),
+                   donate_argnums=(0,))
+def _bulk_reverse_link(nbr0, sel, vecs, sqnorms, *, m: int, cap: int,
+                       metric: str, heuristic: bool, slab: int = 2048):
+    """Bulk-build version of the reverse-link pass: ``sel`` [N, m] holds
+    every node's pruned own list at once. Targets are dense (0..N-1), so
+    the incoming-edge matrix is [N, maxnew] instead of per-edge rows.
+    Writes own lists, groups the N*m reverse edges by target, and
+    re-prunes every node's (own + incoming) candidates to ``cap``."""
+    N = sel.shape[0]
+    ncap = nbr0.shape[0]
+    own = jnp.full((N, cap), -1, jnp.int32).at[:, :m].set(sel)
+    nbr0 = nbr0.at[:N].set(own)
+
+    G = N * m
+    sent = jnp.int32(ncap)
+    v = jnp.where(sel.reshape(G) >= 0, sel.reshape(G), sent)
+    u = jnp.repeat(jnp.arange(N, dtype=jnp.int32), m)
+    order = jnp.argsort(v, stable=True)
+    sv = v[order]
+    su = u[order]
+    idx = jnp.arange(G, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones(1, bool), sv[1:] != sv[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    rank = idx - seg_start
+    maxnew = 2 * cap
+    su_m = jnp.where(sv < sent, su, -1)
+    tgt_safe = jnp.minimum(sv, N - 1)
+    keep = (rank < maxnew) & (sv < sent)
+    newmat = jnp.full((N, maxnew), -1, jnp.int32).at[
+        jnp.where(keep, tgt_safe, N), jnp.where(keep, rank, 0)].set(
+        su_m, mode="drop")
+
+    nslab = -(-N // slab)
+
+    def slab_step(carry, s):
+        nb = carry
+        start = s * slab
+        rows = start + jnp.arange(slab, dtype=jnp.int32)
+        rows_safe = jnp.minimum(rows, N - 1)
+        existing = nb[rows_safe]
+        nm = newmat[rows_safe]
+        cand = jnp.concatenate([existing, nm], axis=1)
+        cand = jnp.where(cand == rows_safe[:, None], -1, cand)
+        vv = vecs[rows_safe].astype(jnp.float32)
+        if heuristic:
+            lists = _select_neighbors_heuristic(
+                vv, cand, vecs, sqnorms, metric=metric, cap=cap)
+        else:
+            lists = _prune_closest(
+                vv, cand, vecs, sqnorms, metric=metric, cap=cap)
+        write_rows = jnp.where(rows < N, rows, ncap)
+        nb = nb.at[write_rows].set(lists, mode="drop")
+        return nb, None
+
+    nbr0, _ = jax.lax.scan(slab_step, nbr0, jnp.arange(nslab))
+    return nbr0
+
+
+@jax.jit
+def _component_labels(nbr):
+    """Connected-component labels of the first N rows of an adjacency
+    array, treating edges as undirected (min-label propagation with a
+    reverse scatter-min per round)."""
+    N = nbr.shape[0]
+    rows = jnp.arange(N, dtype=jnp.int32)
+    nb_safe = jnp.where(nbr >= 0, nbr, rows[:, None])
+    nbr_flat = jnp.where(nbr >= 0, nbr, N).reshape(-1)   # N = dropped
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < 512)
+
+    def body(state):
+        lab, _, it = state
+        fwd = jnp.minimum(lab, jnp.min(lab[nb_safe], axis=1))
+        deg = nbr.shape[1]
+        rev = fwd.at[nbr_flat].min(jnp.repeat(fwd, deg), mode="drop")
+        return rev, jnp.any(rev != lab), it + 1
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (rows, jnp.bool_(True), jnp.int32(0)))
+    return lab
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m", "heuristic", "metric", "slab"))
+def _bulk_prune_own(cand, vecs, sqnorms, *, m: int, heuristic: bool,
+                    metric: str, slab: int = 4096):
+    """Prune each node's kNN candidate list [N, K] to its own m
+    neighbors, slab by slab (bulk build step 2)."""
+    N = cand.shape[0]
+
+    def slab_step(_, s):
+        rows = s * slab + jnp.arange(slab, dtype=jnp.int32)
+        rows_safe = jnp.minimum(rows, N - 1)
+        c = cand[rows_safe]
+        c = jnp.where(c == rows_safe[:, None], -1, c)
+        vv = vecs[rows_safe].astype(jnp.float32)
+        if heuristic:
+            lists = _select_neighbors_heuristic(
+                vv, c, vecs, sqnorms, metric=metric, cap=m)
+        else:
+            lists = _prune_closest(vv, c, vecs, sqnorms, metric=metric,
+                                   cap=m)
+        return None, lists
+
+    nslab = -(-N // slab)
+    _, out = jax.lax.scan(slab_step, None, jnp.arange(nslab))
+    return out.reshape(nslab * slab, m)[:N]
+
+
+@functools.partial(jax.jit,
                    static_argnames=("graph_top", "node_top", "efc", "m",
                                     "metric", "heuristic"))
 def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
@@ -405,7 +608,8 @@ class HNSWIndex(BaseIndex):
                  m: Optional[int] = None, ef_construction: Optional[int] = None,
                  ef_search: Optional[int] = None, ml: Optional[float] = None,
                  metric: str = "l2", ids=None, seed: int = 0,
-                 wave: Optional[int] = None, neighbor_heuristic: bool = True):
+                 wave: Optional[int] = None, neighbor_heuristic: bool = True,
+                 build_mode: str = "auto"):
         cfg = get_config()
         self._heuristic = neighbor_heuristic
         self.metric = D.canonical_metric(metric)
@@ -439,8 +643,13 @@ class HNSWIndex(BaseIndex):
         self._nbr0 = None             # [Ncap, 2M]
         # upper levels: list indexed by level-1
         self._upper: List[Dict[str, Any]] = []
+        self._build_mode = build_mode
         if x is not None and len(x):
-            self.add(x, ids=ids)
+            if build_mode == "bulk" or (build_mode == "auto"
+                                        and len(x) >= 4096):
+                self.build_bulk(x, ids=ids)
+            else:
+                self.add(x, ids=ids)
 
     # ---- capacity management ----
     def _ensure_capacity(self, need: int) -> None:
@@ -500,6 +709,227 @@ class HNSWIndex(BaseIndex):
         u = self._rng.random(count)
         lv = np.floor(-np.log(np.maximum(u, 1e-12)) * self.ml).astype(np.int32)
         return np.minimum(lv, self.max_level)
+
+    # ---- bulk construction (TPU-first redesign, round 2) ----
+    def build_bulk(self, vectors, ids=None, *, knn_k: Optional[int] = None,
+                   nprobe: int = 16, bridges: int = 8) -> np.ndarray:
+        """Batch-build the whole graph from an IVF-bootstrapped kNN graph
+        instead of lockstep insertion waves.
+
+        The reference builds serially under an exclusive lock
+        (hnsw_am.c:511-519); round 1's wave insertion batched that but
+        stayed beam-search-bound (~3 s per 1024-node wave on this
+        backend). This path is pure batch work on the MXU:
+          1. IVF coarse index over the corpus, one batched kNN query
+             per point -> candidate graph [N, K] (the engine's fastest
+             primitive: ~100k QPS at 1M);
+          2. diversity-prune each node's K candidates to its own m list
+             (slab-scanned device program);
+          3. one bulk reverse-link pass: group all N*m reverse edges by
+             target, re-prune every node to 2m (same selection policy as
+             the incremental path);
+          4. upper levels: exact in-subset kNN (subsets shrink by
+             e^(-1/ml) per level) + the same prune/link machinery in
+             local coordinates;
+        Quality is validated against the incremental builder in
+        tests/test_hnsw_bulk.py (matching recall at equal ef).
+        """
+        x = np.asarray(vectors, np.float32)
+        if x.ndim == 1:
+            x = x[None, :]
+        if self.n:
+            return self.add(x, ids=ids)      # bulk is build-time only
+        if self._spherical:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                               1e-30)
+        n = x.shape[0]
+        new_ids = (np.asarray(ids, np.int64) if ids is not None
+                   else np.arange(n, dtype=np.int64))
+        levels = self._draw_levels(n)
+        K = int(knn_k or max(2 * self.m, 32))
+
+        self._ensure_capacity(n)
+        xj = jnp.asarray(x)
+        self._vecs = self._vecs.at[:n].set(xj.astype(self._vecs.dtype))
+        self._sqnorms = self._sqnorms.at[:n].set(jnp.sum(xj * xj, axis=1))
+        self._ids_np = new_ids.copy()
+        self._levels_np = levels
+        self._alive_np = np.ones(n, bool)
+        self.n = n
+
+        # (1) candidate kNN graph via IVF (exact for small corpora)
+        cand = self._bulk_knn_graph(x, K, nprobe)
+
+        # (2) own lists + (3) bulk reverse link at level 0
+        sel = _bulk_prune_own(jnp.asarray(cand), self._vecs,
+                              self._sqnorms, m=self.m,
+                              heuristic=self._heuristic,
+                              metric=self._imetric)
+        self._nbr0 = _bulk_reverse_link(
+            self._nbr0, sel, self._vecs, self._sqnorms, m=self.m,
+            cap=2 * self.m, metric=self._imetric,
+            heuristic=self._heuristic)
+        # bridge disconnected components (clustered corpora: the kNN
+        # graph has no cross-cluster edges)
+        nbr_host = np.array(self._nbr0[:n])
+        bridged = self._connect_components(nbr_host, x, self._imetric,
+                                           bridges=bridges)
+        if not np.array_equal(bridged, nbr_host):
+            self._nbr0 = self._nbr0.at[:n].set(jnp.asarray(bridged))
+
+        # (4) upper levels in local coordinates
+        top = int(levels.max()) if n else 0
+        self._ensure_level(top)
+        for l in range(1, top + 1):
+            members = np.where(levels >= l)[0].astype(np.int32)
+            u = self._upper[l - 1]
+            S = len(members)
+            self._grow_upper(l, S)
+            loc = np.arange(S, dtype=np.int32)
+            u["nodes"] = u["nodes"].at[loc].set(jnp.asarray(members))
+            u["pos"] = u["pos"].at[jnp.asarray(members)].set(
+                jnp.asarray(loc))
+            u["n"] = S
+            if S <= 1:
+                continue
+            xs = jnp.asarray(x[members])
+            sq = jnp.sum(xs * xs, axis=1)
+            kk = min(self.m + 8, S - 1)
+            _, nn_loc = TK.chunked_knn(
+                xs, xs, kk + 1, metric="ip" if self._imetric == "ip"
+                else "l2", chunk=min(S, 16384))
+            nn_loc = np.asarray(nn_loc)
+            # strip self-hits
+            rows_l = np.arange(S)[:, None]
+            nn_loc = np.where(nn_loc == rows_l, -1, nn_loc)[:, :kk]
+            sel_l = _bulk_prune_own(
+                jnp.asarray(nn_loc.astype(np.int32)), xs, sq, m=self.m,
+                heuristic=self._heuristic, metric=self._imetric)
+            nbr_l = jnp.full((u["nbr"].shape[0], self.m), -1, jnp.int32)
+            nbr_l = _bulk_reverse_link(
+                nbr_l, sel_l, xs, sq, m=self.m, cap=self.m,
+                metric=self._imetric, heuristic=self._heuristic)
+            nbr_host = np.array(nbr_l[:S])
+            bridged = self._connect_components(nbr_host, x[members],
+                                               self._imetric)
+            if not np.array_equal(bridged, nbr_host):
+                nbr_l = nbr_l.at[:S].set(jnp.asarray(bridged))
+            u["nbr"] = nbr_l
+
+        best = int(levels.argmax()) if n else -1
+        self.entry = best
+        self.entry_level = int(levels[best]) if n else -1
+        return new_ids
+
+    @staticmethod
+    def _connect_components(nbr: np.ndarray, x: np.ndarray,
+                            metric: str, bridges: int = 3) -> np.ndarray:
+        """Bridge disconnected components of a bulk-built graph: the kNN
+        graph of well-separated clusters has no cross-cluster edges (the
+        incremental build gets them for free from early inserts). Per
+        round, every non-largest component gets ``bridges`` bidirectional
+        edges to its nearest outside nodes; iterate until connected.
+        nbr [N, deg] (numpy, modified copy returned); x [N, D]."""
+        import jax.numpy as jnp_
+        nbr = nbr.copy()
+        for _ in range(32):
+            lab = np.asarray(_component_labels(jnp_.asarray(nbr)))
+            comps, counts = np.unique(lab, return_counts=True)
+            if len(comps) <= 1:
+                break
+            main = comps[np.argmax(counts)]
+            for c in comps:
+                if c == main:
+                    continue
+                mask = lab == c
+                mem = np.where(mask)[0]
+                mu = x[mem].mean(0)
+                # nearest outside nodes of DISTINCT other components:
+                # bridging only toward one neighbor cluster leaves greedy
+                # descent stuck when routing between two far clusters
+                if metric == "ip":
+                    d_out = -(x @ mu)
+                else:
+                    d_out = ((x - mu) ** 2).sum(1)
+                d_out[mask] = np.inf
+                order = np.argsort(d_out)
+                outs = []
+                seen_lab = set()
+                for b in order[: max(1000, 50 * bridges)]:
+                    if not np.isfinite(d_out[b]):
+                        break
+                    if lab[b] in seen_lab:
+                        continue
+                    seen_lab.add(lab[b])
+                    outs.append(int(b))
+                    if len(outs) >= bridges:
+                        break
+                for b in outs:
+                    # nearest member to the outside node
+                    if metric == "ip":
+                        d_in = -(x[mem] @ x[b])
+                    else:
+                        d_in = ((x[mem] - x[b]) ** 2).sum(1)
+                    a = mem[int(np.argmin(d_in))]
+                    for src, dst in ((a, b), (b, a)):
+                        row = nbr[src]
+                        free = np.where(row < 0)[0]
+                        slot = free[0] if len(free) else len(row) - 1
+                        if dst not in row:
+                            nbr[src, slot] = dst
+        return nbr
+
+    def _bulk_knn_graph(self, x: np.ndarray, K: int,
+                        nprobe: int) -> np.ndarray:
+        """[N, K] candidate rows per node (self stripped)."""
+        n = x.shape[0]
+        metric = "ip" if self._imetric == "ip" else "l2"
+        if n <= 20000:                      # exact is cheap enough
+            ids_all = np.empty((n, K + 1), np.int64)
+            xj = jnp.asarray(x)
+            step = 4096
+            for s in range(0, n, step):
+                e = min(s + step, n)
+                qb = xj[s:e]
+                if e - s < step:
+                    qb = jnp.concatenate(
+                        [qb, jnp.repeat(qb[-1:], step - (e - s), axis=0)])
+                _, ids_b = TK.chunked_knn(qb, xj, min(K + 1, n),
+                                          metric=metric,
+                                          chunk=min(n, 65536))
+                got = np.asarray(ids_b)[: e - s]
+                if got.shape[1] < K + 1:
+                    got = np.pad(got, ((0, 0), (0, K + 1 - got.shape[1])),
+                                 constant_values=-1)
+                ids_all[s:e] = got
+        else:
+            from neurondb_tpu.index.ivf import IVFFlatIndex
+            nlists = max(64, min(4096, int(2 * np.sqrt(n))))
+            ivf = IVFFlatIndex(x, nlists=nlists, metric=metric,
+                               seed=self._seed)
+            ids_all = np.empty((n, K + 1), np.int64)
+            batch = 16384
+            for s in range(0, n, batch):
+                e = min(s + batch, n)
+                qb = x[s:e]
+                if e - s < batch:
+                    qb = np.concatenate(
+                        [qb, np.repeat(qb[-1:], batch - (e - s), axis=0)])
+                _, ids_b = ivf.search(qb, k=K + 1, nprobe=nprobe)
+                ids_all[s:e] = np.asarray(ids_b)[: e - s]
+        rows = np.arange(n)[:, None]
+        stripped = np.where(ids_all == rows, -1, ids_all)
+        # compact the self-hit out so every row keeps K candidates
+        out = np.full((n, K), -1, np.int32)
+        for_r = stripped >= 0
+        counts = for_r.sum(1)
+        flat = stripped[for_r]
+        idxs = np.repeat(np.arange(n), counts)
+        pos_in_row = np.concatenate([np.arange(c) for c in counts]) \
+            if n else np.zeros(0, np.int64)
+        keep = pos_in_row < K
+        out[idxs[keep], pos_in_row[keep]] = flat[keep]
+        return out
 
     # ---- insertion ----
     def add(self, vectors, ids=None) -> np.ndarray:
@@ -616,18 +1046,22 @@ class HNSWIndex(BaseIndex):
             self._sqnorms, self._nbr0, uppers,
             graph_top=graph_top, node_top=node_top, efc=efc, m=self.m,
             metric=self._imetric, heuristic=self._heuristic)
-        sel0 = np.asarray(sel0_j)
-        sel_np: Dict[int, np.ndarray] = {}
-        for l, sj in sels_j.items():
-            sel = np.array(sj)
-            sel[~(levels >= l)] = -1
-            sel_np[l] = sel
+        # --- level-0 links: one fused device program, adjacency donated
+        # (round 1 did this host-side with several round-trips per wave —
+        # the measured build bottleneck) ---
+        self._nbr0 = _link_level0_device(
+            self._nbr0, jnp.asarray(rows), sel0_j, jnp.int32(W_real),
+            self._vecs, self._sqnorms, m=self.m, cap=2 * self.m,
+            metric=self._imetric, heuristic=self._heuristic)
 
-        # --- apply links (drop pad rows) ---
-        rows_r, levels_r = rows[:W_real], levels[:W_real]
-        self._link_level0(rows_r, sel0[:W_real])
-        for l, sel in sel_np.items():
-            self._link_upper(l, rows_r, levels_r, sel[:W_real], upper_rows[l])
+        # --- upper levels (few nodes; host path) ---
+        if sels_j:
+            rows_r, levels_r = rows[:W_real], levels[:W_real]
+            for l, sj in sels_j.items():
+                sel = np.array(sj)
+                sel[~(levels >= l)] = -1
+                self._link_upper(l, rows_r, levels_r, sel[:W_real],
+                                 upper_rows[l])
 
     def _select(self, q: jax.Array, beam_rows: jax.Array, cap: int,
                 upper: Optional[Dict[str, Any]] = None) -> jax.Array:
@@ -648,22 +1082,6 @@ class HNSWIndex(BaseIndex):
             return jnp.where(lists_g >= 0,
                              upper["pos"][jnp.maximum(lists_g, 0)], -1)
         return lists_g
-
-    def _link_level0(self, rows: np.ndarray, sel: np.ndarray) -> None:
-        cap = 2 * self.m
-        m = self.m
-        # new nodes' own lists: selected-m (pad to cap); scatter padded to
-        # a power of two (repeat-last) for shape stability
-        own = np.full((len(rows), cap), -1, np.int32)
-        own[:, :m] = sel
-        pad = max(16, self._wave) - len(rows)
-        rows_p = np.concatenate([rows, np.full(pad, rows[-1], rows.dtype)]) \
-            if pad else rows
-        own_p = np.concatenate([own, np.repeat(own[-1:], pad, axis=0)]) \
-            if pad else own
-        self._nbr0 = self._nbr0.at[jnp.asarray(rows_p)].set(jnp.asarray(own_p))
-        # reverse edges grouped by target
-        self._apply_reverse(rows, sel, level=0)
 
     def _link_upper(self, l: int, rows: np.ndarray, levels: np.ndarray,
                     sel: np.ndarray, local_of: Dict[int, int]) -> None:

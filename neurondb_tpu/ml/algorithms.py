@@ -230,6 +230,41 @@ register_algorithm(Trainer(
     TR.ensemble_predict, _tree_eval))
 
 
+# ---- per-library boosting semantics (ml/boosting.py; reference
+# ml_xgboost.c / ml_lightgbm.c / ml_catboost.c behaviors) ----
+
+def _boost_eval(model, X, y):
+    from neurondb_tpu.ml import boosting as BO
+    pred = {"xgboost": BO.xgboost_predict,
+            "lightgbm": BO.lightgbm_predict,
+            "catboost": BO.catboost_predict}[model["algo"]](model, X)
+    if model["task"] == "classify":
+        return {"accuracy": float(
+            (jnp.asarray(pred) == jnp.asarray(y, jnp.int32)).mean())}
+    y = jnp.asarray(y, jnp.float32)
+    p = jnp.asarray(pred, jnp.float32).reshape(y.shape)
+    ss = jnp.sum((y - p) ** 2)
+    st = jnp.sum((y - jnp.mean(y)) ** 2)
+    return {"mse": float(ss / max(len(y), 1)),
+            "r2": float(1.0 - ss / jnp.maximum(st, 1e-12))}
+
+
+def _register_boosting():
+    from neurondb_tpu.ml import boosting as BO
+    register_algorithm(Trainer(
+        "xgboost", lambda X, y, **hp: BO.xgboost_fit(X, y, **hp),
+        BO.xgboost_predict, _boost_eval))
+    register_algorithm(Trainer(
+        "lightgbm", lambda X, y, **hp: BO.lightgbm_fit(X, y, **hp),
+        BO.lightgbm_predict, _boost_eval))
+    register_algorithm(Trainer(
+        "catboost", lambda X, y, **hp: BO.catboost_fit(X, y, **hp),
+        BO.catboost_predict, _boost_eval))
+
+
+_register_boosting()
+
+
 # ---- anomaly detection ----
 
 def _anomaly_train(X, *, method="knn", k=5, threshold=3.0, contamination=0.1):

@@ -11,6 +11,7 @@ ANN path converts scores to device arrays for rank fusion.
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 from collections import Counter
@@ -45,6 +46,49 @@ def _light_stem(t: str) -> str:
                 return t[: -3] + "y"
             return t[: -len(suf)]
     return t
+
+
+def _get_bm25_device_fn():
+    """Lazily-built jitted batch scorer: term-at-a-time scatter-add over
+    CSR postings with BUILD-TIME-precomputed per-posting weights
+    (w = idf * tf * (k1+1) / (tf + k1 * len_norm) depends only on the
+    (term, doc) pair, so query scoring is pure gather + scatter-add).
+    This is the round-2 device path (VERDICT r1 item 8): jnp over CSR
+    postings; the host loop in ``scores`` stays as the oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit,
+                       static_argnames=("n_docs", "seg", "max_segs"))
+    def scores_device(term_off, term_cnt, post_doc, post_w, *,
+                      n_docs: int, seg: int, max_segs: int):
+        B, T = term_off.shape
+        nnz = post_doc.shape[0]
+        scores = jnp.zeros((B, n_docs), jnp.float32)
+        rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
+        col = jnp.arange(seg, dtype=jnp.int32)[None, :]
+
+        def term_step(sc, tcol):
+            off, cnt = tcol                            # [B] each
+            n_segs = jnp.minimum(
+                (jnp.max(cnt) + seg - 1) // seg, max_segs)
+
+            def seg_step(s, sc):
+                start = off + s * seg
+                rows = start[:, None] + col            # [B, seg]
+                ok = rows < (off + cnt)[:, None]
+                rs = jnp.clip(rows, 0, nnz - 1)
+                docs = jnp.where(ok, post_doc[rs], 0)
+                w = jnp.where(ok, post_w[rs], 0.0)
+                return sc.at[rowb, docs].add(w)
+
+            return jax.lax.fori_loop(0, n_segs, seg_step, sc), None
+
+        scores, _ = jax.lax.scan(term_step, scores,
+                                 (term_off.T, term_cnt.T))
+        return scores
+
+    return scores_device
 
 
 class BM25Index:
@@ -166,6 +210,83 @@ class BM25Index:
             out[rows] += self.idf[ti] * tf * (self.k1 + 1.0) / (
                 tf + self.k1 * norm[rows])
         return out
+
+    # ---- device batch scoring (round 2) ----
+    def _ensure_device(self):
+        if getattr(self, "_dev", None) is not None:
+            return self._dev
+        import jax.numpy as jnp
+        norm = 1.0 - self.b + self.b * self.doc_len / max(self.avg_len,
+                                                          1e-9)
+        tf = self._post_tf
+        # per-posting weight: contribution of term t to doc d, exactly
+        # the host formula in scores()
+        term_of = np.repeat(np.arange(len(self.df)),
+                            np.diff(self._offsets))
+        w = self.idf[term_of] * tf * (self.k1 + 1.0) / (
+            tf + self.k1 * norm[self._post_doc])
+        nnz = len(self._post_doc)
+        seg = 512
+        pad = (-nnz) % seg + seg
+        self._dev = {
+            "post_doc": jnp.asarray(np.pad(self._post_doc, (0, pad))),
+            "post_w": jnp.asarray(np.pad(w.astype(np.float32), (0, pad))),
+            "fn": _get_bm25_device_fn(),
+            "seg": seg,
+            "max_segs": max(1, -(-int(self.df.max()) // seg))
+            if len(self.df) else 1,
+        }
+        return self._dev
+
+    def _query_term_slices(self, query: str):
+        if self._hash_vocab is not None:
+            q_terms = _TOKEN.findall(query.lower())
+        else:
+            q_terms = tokenize(query)
+        offs, cnts = [], []
+        for t in q_terms:
+            ti = self._term_index(t)
+            if ti is None:
+                continue
+            offs.append(int(self._offsets[ti]))
+            cnts.append(int(self._offsets[ti + 1] - self._offsets[ti]))
+        return offs, cnts
+
+    def scores_batch(self, queries: Sequence[str],
+                     device: Optional[bool] = None) -> np.ndarray:
+        """[B, n_docs] BM25 scores for a batch of queries. Device path:
+        one jitted gather + scatter-add program over the CSR postings
+        (weights precomputed at build). Falls back to the host loop for
+        tiny batches/corpora."""
+        if device is None:
+            device = self.n_docs >= 2048 and len(queries) > 1
+        if not device:
+            return np.stack([self.scores(q) for q in queries])
+        import jax.numpy as jnp
+        dev = self._ensure_device()
+        B = len(queries)
+        slices = [self._query_term_slices(q) for q in queries]
+        tmax_real = max((len(o) for o, _ in slices), default=1)
+        T = 4
+        while T < max(tmax_real, 1):
+            T *= 2
+        T = min(T, 64)
+        off = np.zeros((B, T), np.int32)
+        cnt = np.zeros((B, T), np.int32)
+        for b, (o, c) in enumerate(slices):
+            o, c = o[:T], c[:T]
+            off[b, : len(o)] = o
+            cnt[b, : len(c)] = c
+        # pad B to a power of two (compile-shape stability)
+        bpad = 1 << max((B - 1).bit_length(), 3)
+        if bpad > B:
+            off = np.pad(off, ((0, bpad - B), (0, 0)))
+            cnt = np.pad(cnt, ((0, bpad - B), (0, 0)))
+        out = dev["fn"](jnp.asarray(off), jnp.asarray(cnt),
+                        dev["post_doc"], dev["post_w"],
+                        n_docs=self.n_docs, seg=dev["seg"],
+                        max_segs=dev["max_segs"])
+        return np.asarray(out)[:B]
 
     def search(self, query: str, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         s = self.scores(query)

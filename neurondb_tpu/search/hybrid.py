@@ -93,11 +93,14 @@ def hybrid_search_batch(index, bm25: BM25Index, query_vecs,
     q = np.atleast_2d(np.asarray(query_vecs, np.float32))
     vd, vids = index.search(q, k=candidates, **search_kw)
     row_of = _bm25_row_of(bm25)
+    # one device dispatch scores ALL queries over the CSR postings
+    # (round 2; host per-query loop was the 100k-doc scaling wall)
+    tscores = bm25.scores_batch(list(query_texts))
     out_s = np.zeros((len(q), k), np.float32)
     out_i = np.full((len(q), k), -1, np.int64)
     for b, text in enumerate(query_texts):
         ok = vids[b] >= 0
-        pool = _fuse_one(vd[b][ok], vids[b][ok], bm25.scores(text),
+        pool = _fuse_one(vd[b][ok], vids[b][ok], tscores[b],
                          bm25.ids, row_of, weight=weight,
                          candidates=candidates)
         items = sorted(pool.items(), key=lambda kv: -kv[1])[:k]

@@ -90,7 +90,10 @@ def test_naive_bayes(blobs):
     assert (pred == y).mean() > 0.97
 
 
-def test_svm_linear(rng):
+def test_svm_linear():
+    # own seed: the shared session rng's stream position depends on which
+    # tests ran before, and this threshold sits near the noise floor
+    rng = np.random.default_rng(7)
     X = rng.standard_normal((400, 4)).astype(np.float32)
     y = (X[:, 0] + X[:, 1] > 0).astype(np.int32)
     m = NB.svm_fit(X, y, num_classes=2, iters=400)

@@ -1,0 +1,199 @@
+"""Planner routing, MLOps catalog, tracing hooks (VERDICT r1 missing
+items 7-9)."""
+
+import numpy as np
+import pytest
+
+from neurondb_tpu.ml.mlops import (ABTestManager, AuditLog,
+                                   ExperimentTracker, FeatureFlags,
+                                   ModelMonitor)
+from neurondb_tpu.search.planner import QueryPlanner, planned_search
+
+
+# ---------------------------------------------------------------------------
+# planner
+# ---------------------------------------------------------------------------
+
+def test_planner_routes_by_modality():
+    p = QueryPlanner()
+    assert p.plan(has_vector=True).mode == "ann"
+    assert p.plan(text="hello world").mode == "fts"
+    assert p.plan(text="hello", has_vector=True).mode == "hybrid"
+
+
+def test_planner_selectivity_shifts_weight(rng):
+    from neurondb_tpu.search.bm25 import BM25Index
+    docs = ["common common common rareterm" if i == 0 else
+            "common common common filler" for i in range(500)]
+    bm = BM25Index(docs, use_native=False)
+    p = QueryPlanner()
+    rare = p.plan(text="rareterm", has_vector=True, bm25=bm)
+    generic = p.plan(text="common", has_vector=True, bm25=bm)
+    assert rare.weight < generic.weight      # rare terms -> FTS-heavy
+
+
+def test_planner_feedback_tunes_precision():
+    p = QueryPlanner(latency_slo_ms=10.0)
+    plan = p.plan(text="a b", has_vector=True)
+    ef0 = plan.ef
+    for _ in range(5):
+        p.observe(plan, latency_ms=100.0)       # way over SLO
+    assert p.plan(text="c d", has_vector=True).ef < ef0
+    plan2 = p.plan(text="e f", has_vector=True)
+    for _ in range(3):
+        p.observe(plan2, latency_ms=1.0, shortfall=True)
+    assert p.plan(text="g h", has_vector=True).ef > \
+        p.ef_bounds[0]
+
+
+def test_planned_search_end_to_end(rng):
+    from neurondb_tpu.client import Client
+    c = Client()
+    col = c.create_collection("pl", 8)
+    x = rng.standard_normal((500, 8)).astype(np.float32)
+    docs = [f"doc number {i} about topic{i % 7}" for i in range(500)]
+    col.add(x, documents=docs)
+    p = QueryPlanner()
+    out = planned_search(col, p, vector=x[3], k=5)
+    assert out["plan"].mode == "ann"
+    assert out["results"][0]["id"] == 3
+    out = planned_search(col, p, text="topic3", k=5)
+    assert out["plan"].mode == "fts"
+    assert len(out["results"]) == 5
+    out = planned_search(col, p, vector=x[3], text="topic3", k=5)
+    assert out["plan"].mode == "hybrid"
+    assert p.stats()                            # feedback recorded
+
+
+# ---------------------------------------------------------------------------
+# A/B tests
+# ---------------------------------------------------------------------------
+
+def test_ab_test_lifecycle():
+    mgr = ABTestManager(seed=0)
+    mgr.create("exp1", model_a=1, model_b=2, traffic_split=0.5)
+    for _ in range(600):
+        mid = mgr.route("exp1")
+        # model 2 converts at 60%, model 1 at 40%
+        rate = 0.6 if mid == 2 else 0.4
+        mgr.record_outcome("exp1", mid,
+                           np.random.default_rng(mid * 7 + _).random()
+                           < rate)
+    res = mgr.conclude("exp1")
+    assert res["significant"] and res["winner"] == "b"
+    # concluded test routes to the winner only
+    assert all(mgr.route("exp1") == 2 for _ in range(10))
+
+
+def test_ab_test_validation():
+    mgr = ABTestManager()
+    with pytest.raises(ValueError):
+        mgr.create("bad", 1, 2, traffic_split=1.5)
+
+
+# ---------------------------------------------------------------------------
+# monitoring / drift
+# ---------------------------------------------------------------------------
+
+def test_model_monitor_no_drift(rng):
+    base = rng.standard_normal((2000, 4)).astype(np.float32)
+    mon = ModelMonitor(1, base)
+    alert = mon.observe(rng.standard_normal((500, 4)).astype(np.float32),
+                        predictions=rng.random(500))
+    assert alert is None
+    s = mon.summary()
+    assert s["n_predictions"] == 500 and s["psi_max"] < 0.2
+
+
+def test_model_monitor_drift_alert(rng):
+    base = rng.standard_normal((2000, 4)).astype(np.float32)
+    mon = ModelMonitor(1, base)
+    shifted = rng.standard_normal((500, 4)).astype(np.float32) + 5.0
+    alert = mon.observe(shifted)
+    assert alert is not None and alert["psi"] > 0.2
+    assert mon.summary()["alerts"] == 1
+
+
+# ---------------------------------------------------------------------------
+# audit log / experiments / flags
+# ---------------------------------------------------------------------------
+
+def test_audit_log(tmp_path):
+    log = AuditLog(path=str(tmp_path / "audit.jsonl"))
+    log.record("train", model_id=1, actor="alice")
+    log.record("deploy", model_id=1, actor="bob")
+    log.record("train", model_id=2)
+    assert len(log.query(action="train")) == 2
+    assert log.query(model_id=1, action="deploy")[0]["actor"] == "bob"
+    import json
+    lines = (tmp_path / "audit.jsonl").read_text().strip().split("\n")
+    assert len(lines) == 3 and json.loads(lines[0])["action"] == "train"
+
+
+def test_experiment_tracker(tmp_path):
+    t = ExperimentTracker(root=str(tmp_path))
+    r1 = t.start_run("proj", params={"lr": 0.1})
+    t.log_metric(r1, "acc", 0.8, step=1)
+    t.log_metric(r1, "acc", 0.9, step=2)
+    t.finish_run(r1)
+    r2 = t.start_run("proj", params={"lr": 0.01})
+    t.log_metric(r2, "acc", 0.85)
+    t.finish_run(r2)
+    best = t.best_run("proj", "acc")
+    assert best["run_id"] == r1
+    assert len(t.list_runs("proj")) == 2
+    assert (tmp_path / f"run_{r1}.json").exists()
+
+
+def test_feature_flags():
+    ff = FeatureFlags()
+    ff.set("newpath", enabled=True, rollout=1.0)
+    assert ff.enabled("newpath")
+    ff.set("partial", enabled=True, rollout=0.5)
+    hits = sum(ff.enabled("partial", subject=f"u{i}") for i in range(400))
+    assert 120 < hits < 280                      # ~50% bucketing
+    # deterministic per subject
+    assert ff.enabled("partial", subject="u1") == \
+        ff.enabled("partial", subject="u1")
+    ff.set("off", enabled=False)
+    assert not ff.enabled("off")
+
+
+# ---------------------------------------------------------------------------
+# tracing
+# ---------------------------------------------------------------------------
+
+def test_tracing_spans():
+    from neurondb_tpu.utils import tracing as T
+    T.reset()
+    with T.trace("unit.op"):
+        sum(range(1000))
+    with T.trace("unit.op"):
+        sum(range(1000))
+
+    @T.annotate_fn("unit.fn")
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    s = T.spans()
+    assert s["unit.op"]["count"] == 2
+    assert s["unit.fn"]["count"] == 1
+    rows = T.summary()
+    assert any(r["span"] == "unit.op" for r in rows)
+    text = T.prometheus_text()
+    assert 'ndb_span_count{span="unit.op"} 2' in text
+
+
+def test_tracing_profile_capture(tmp_path):
+    """Whole-program xprof capture produces trace artifacts."""
+    import jax.numpy as jnp
+    from neurondb_tpu.utils import tracing as T
+    with T.profile(str(tmp_path)):
+        with T.trace("profiled.matmul"):
+            (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    import os
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found.extend(files)
+    assert found, "no profiler artifacts written"

@@ -206,3 +206,51 @@ def test_metrics():
         (1 / 2 + 1 / 3) / 2)
     ndcg = M.ndcg_at_k(got, [{1: 1.0}, {6: 1.0}], k=3)
     assert 0 < ndcg <= 1
+
+
+def test_bm25_scores_batch_matches_host_oracle():
+    """Device batch scorer vs the host term-at-a-time loop (VERDICT r1
+    item 8 fusion-correctness criterion)."""
+    from neurondb_tpu.search.bm25 import BM25Index
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(5, 30)))
+            for _ in range(3000)]
+    bm = BM25Index(docs, use_native=False)
+    queries = [" ".join(rng.choice(vocab, 4)) for _ in range(17)]
+    dev = bm.scores_batch(queries, device=True)
+    host = np.stack([bm.scores(q) for q in queries])
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
+def test_bm25_scores_batch_native_corpus():
+    from neurondb_tpu.search.bm25 import BM25Index
+    rng = np.random.default_rng(4)
+    vocab = [f"term{i}" for i in range(500)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(8, 40)))
+            for _ in range(6000)]          # above NATIVE_THRESHOLD
+    bm = BM25Index(docs)
+    queries = [" ".join(rng.choice(vocab, 3)) for _ in range(9)]
+    dev = bm.scores_batch(queries, device=True)
+    host = np.stack([bm.scores(q) for q in queries])
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_batch_uses_batch_scores(rng):
+    """hybrid_search_batch fused output must equal the per-query path."""
+    from neurondb_tpu.index import FlatIndex
+    from neurondb_tpu.search.bm25 import BM25Index
+    from neurondb_tpu.search.hybrid import hybrid_search, hybrid_search_batch
+    n, d = 3000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    vocab = [f"w{i}" for i in range(100)]
+    docs = [" ".join(rng.choice(vocab, 10)) for _ in range(n)]
+    idx = FlatIndex(x)
+    bm = BM25Index(docs, use_native=False)
+    q = x[:5]
+    texts = [docs[i] for i in range(5)]
+    bs, bi = hybrid_search_batch(idx, bm, q, texts, k=5)
+    for b in range(5):
+        ss, si = hybrid_search(idx, bm, q[b], texts[b], k=5)
+        assert set(si.tolist()) == set(bi[b].tolist())
+        np.testing.assert_allclose(np.sort(ss), np.sort(bs[b]), rtol=1e-4)
