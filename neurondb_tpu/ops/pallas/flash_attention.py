@@ -50,6 +50,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     kt = k_ref[0]                                       # [KV_TILE, Dh]
     vt = v_ref[0]
     msk = mask_ref[0]                                   # [1, KV_TILE]
+    # bf16 x bf16 -> f32 hits the MXU's native path (f32 x f32 matmuls
+    # run as multi-pass emulation); inputs arrive pre-cast (see wrapper)
     s = jnp.dot(q, kt.T, preferred_element_type=jnp.float32) * scale
     s = jnp.where(msk > 0, s, NEG_INF)                  # [Q_TILE, KV_TILE]
 
@@ -59,7 +61,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-        p, vt, preferred_element_type=jnp.float32)
+        p.astype(vt.dtype), vt, preferred_element_type=jnp.float32)
     m_scr[:] = m_new
     l_scr[:] = l_new
 
@@ -68,10 +70,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
         o_ref[0] = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_attention(q, k, v, mask=None, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+def flash_attention(q, k, v, mask=None, *, interpret: bool = False,
+                    bf16: bool = True):
     """q,k,v [B, H, S, Dh]; mask [B, S] bool/int (True = attend). S padded
-    to tile multiples by the caller or here."""
+    to tile multiples by the caller or here. ``bf16=True`` (default)
+    computes QK^T and PV as bf16 x bf16 -> f32 MXU matmuls (the round-2
+    perf pass: f32 matmuls run as multi-pass MXU emulation); the
+    online-softmax state stays f32."""
     B, H, S, Dh = q.shape
     scale = 1.0 / (Dh ** 0.5)
     if mask is None:
@@ -85,9 +91,10 @@ def flash_attention(q, k, v, mask=None, *, interpret: bool = False):
         mask = jnp.pad(mask, ((0, 0), (0, pad_s)))
     Sp = S + pad_s
     bh = B * H
-    qf = q.reshape(bh, Sp, Dh)
-    kf = k.reshape(bh, Sp, Dh)
-    vf = v.reshape(bh, Sp, Dh)
+    dt = jnp.bfloat16 if bf16 else q.dtype
+    qf = q.reshape(bh, Sp, Dh).astype(dt)
+    kf = k.reshape(bh, Sp, Dh).astype(dt)
+    vf = v.reshape(bh, Sp, Dh).astype(dt)
     maskf = jnp.repeat(mask[:, None, :], H, axis=1).reshape(bh, 1, Sp)
     q_tiles = Sp // Q_TILE
     kv_tiles = Sp // KV_TILE
