@@ -91,3 +91,21 @@ def test_encoder_flash_vs_reference_path(rng):
     finally:
         FA.flash_attention = orig
     np.testing.assert_allclose(out_flash, out_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_flash_large_tile_path(rng):
+    """S > 512 selects the large measured tiles (512/2048 at Dh=64);
+    multi-kv-tile online-softmax accumulation must still match the
+    oracle, including a ragged mask crossing kv-tile boundaries."""
+    B, H, S, Dh = 1, 1, 2560, 64
+    q = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
+    mask = np.ones((B, S), np.int32)
+    mask[:, 1900:] = 0
+    ref = np.asarray(attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask)))
+    out = np.asarray(flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        interpret=True, bf16=False))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
