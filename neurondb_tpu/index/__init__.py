@@ -14,3 +14,7 @@ from neurondb_tpu.index.flat import FlatIndex, QuantizedFlatIndex  # noqa: F401
 from neurondb_tpu.index.ivf import IVFFlatIndex  # noqa: F401
 from neurondb_tpu.index.hnsw import HNSWIndex  # noqa: F401
 from neurondb_tpu.index.pq import PQIndex  # noqa: F401
+from neurondb_tpu.index.specialty import (  # noqa: F401
+    ConsistentIndex,
+    RerankReadyIndex,
+)

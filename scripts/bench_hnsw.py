@@ -56,13 +56,21 @@ def main():
         gt[s:e] = np.asarray(ids_)
     del xj
 
-    t0 = time.time()
-    idx = HNSWIndex(x, m=16, ef_construction=200, metric="cosine", seed=0,
-                    wave=1024)
-    build_s = time.time() - t0
+    save_path = os.environ.get("NDB_HNSW_SAVE")
+    if save_path and os.path.exists(save_path + ".npz"):
+        t0 = time.time()
+        idx = HNSWIndex.load(save_path)
+        build_s = -round(time.time() - t0, 1)      # negative = load time
+    else:
+        t0 = time.time()
+        idx = HNSWIndex(x, m=16, ef_construction=200, metric="cosine",
+                        seed=0, wave=1024)
+        build_s = time.time() - t0
+        if save_path:
+            idx.save(save_path)
 
     curve = []
-    for ef in (16, 64, 128):
+    for ef in (8, 12, 16, 24, 48, 96):
         idx.search(q, k=k, ef=ef)                  # warm (same shape)
         t0 = time.time()
         _, ids_ = idx.search(q, k=k, ef=ef)
