@@ -38,7 +38,7 @@ class BaseIndex:
         arrays, meta = self._state()
         os.makedirs(path, exist_ok=True)
         np.savez_compressed(os.path.join(path, "arrays.npz"),
-                            **{k: np.asarray(v) for k, v in arrays.items()})
+                            **{k: _to_savable(v) for k, v in arrays.items()})
         meta = dict(meta, kind=self.kind, metric=self.metric, dim=self.dim,
                     format_version=1)
         with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -49,10 +49,28 @@ class BaseIndex:
         with open(os.path.join(path, "manifest.json")) as f:
             meta = json.load(f)
         data = np.load(os.path.join(path, "arrays.npz"))
-        arrays = {k: data[k] for k in data.files}
+        arrays = {k: _from_saved(data[k]) for k in data.files}
         obj = cls.__new__(cls)
         obj._load_state(arrays, meta)
         return obj
+
+
+def _to_savable(v) -> np.ndarray:
+    """npz can't round-trip ml_dtypes (bfloat16 saves as raw void V2 and
+    fails to load) — upcast non-standard numeric dtypes to float32.
+    TPU-resident stores are bf16, so this path is live on device saves."""
+    a = np.asarray(v)
+    if a.dtype.kind not in "biufc":
+        a = np.asarray(jnp.asarray(v).astype(jnp.float32))
+    return a
+
+
+def _from_saved(a: np.ndarray) -> np.ndarray:
+    if a.dtype.kind == "V" and a.dtype.itemsize == 2:
+        # checkpoint written before _to_savable existed: raw bf16 bytes
+        import ml_dtypes
+        return a.view(ml_dtypes.bfloat16).astype(np.float32)
+    return a
 
 
 def as_batch(queries) -> Tuple[jax.Array, bool]:

@@ -177,3 +177,34 @@ def test_quantized_flat_rerank(corpus, fmt, min_recall):
     _, tids = brute_force(q, x, 10, "l2")
     _, ids = idx.search(q, k=10, rerank=8)
     assert recall_at_k(ids, tids) >= min_recall
+
+
+def test_bf16_store_checkpoint_roundtrip(tmp_path, rng):
+    """TPU-resident stores are bf16; npz cannot round-trip ml_dtypes
+    (raw V2 void on save). Regression for the device-save path."""
+    import jax.numpy as jnp
+    from neurondb_tpu.index import HNSWIndex
+    x = rng.standard_normal((512, 16)).astype(np.float32)
+    idx = HNSWIndex(x, m=8)
+    idx._vecs = idx._vecs.astype(jnp.bfloat16)     # what TPU builds hold
+    idx.save(str(tmp_path / "bf16idx"))
+    back = HNSWIndex.load(str(tmp_path / "bf16idx"))
+    _, ids = back.search(x[:16] + 1e-3, k=5, ef=64)
+    assert (ids[:, 0] == np.arange(16)).mean() > 0.9
+
+
+def test_legacy_void_bf16_checkpoint_loads(tmp_path, rng):
+    """Checkpoints written before the dtype fix hold raw bf16 bytes as
+    void V2 — the loader must still rescue them."""
+    import ml_dtypes
+    from neurondb_tpu.index import FlatIndex
+    x = rng.standard_normal((256, 8)).astype(np.float32)
+    idx = FlatIndex(x)
+    idx.save(str(tmp_path / "legacy"))
+    import numpy as _np
+    data = dict(_np.load(str(tmp_path / "legacy/arrays.npz")))
+    data["vecs"] = data["vecs"].astype(ml_dtypes.bfloat16).view("V2")
+    _np.savez_compressed(str(tmp_path / "legacy/arrays.npz"), **data)
+    back = FlatIndex.load(str(tmp_path / "legacy"))
+    _, ids = back.search(x[:8], k=3)
+    assert (ids[:, 0] == np.arange(8)).all()
