@@ -14,3 +14,10 @@ from neurondb_tpu.parallel.sharded import (  # noqa: F401
     ShardedFlatIndex,
     ShardedIVFIndex,
 )
+from neurondb_tpu.parallel.multihost import (  # noqa: F401
+    MultiHostFlatIndex,
+    MultiHostIVFIndex,
+    kmeans_fit_2d,
+    knn_2d,
+    make_mesh_2d,
+)
