@@ -12,6 +12,19 @@ the hot loop stays on the MXU instead of doing scalar LUT lookups (the
 reference's pq_asymmetric_distance walks a [M, ksub] table per vector).
 OPQ learns a rotation R by alternating PQ training with the Procrustes
 solution of min ||XR - decode(XR)|| (OPQ-NP).
+
+Why not an ADC-LUT kernel (measured, round 2): the LUT formulation as
+MXU matmuls is one-hot(codes) @ LUT per subspace = n_sub*ksub multiplies
+per (vector, query) pair vs D for decode+GEMM — 32x MORE FLOPs at
+n_sub=16/ksub=256/D=128; and per-element dynamic VMEM gathers map poorly
+to the VPU's lane structure. decode+GEMM reads only the 16x-compressed
+codes from HBM (the decode gather hits VMEM-resident codebooks), so the
+scan is compute-bound at flat-GEMM FLOPs with 16x less memory traffic —
+the right trade on an MXU machine. Measured 1M x 128: 2.4k QPS
+(n_sub=16), vs 1.5k flat; PQ's value here is the 16-64x memory
+compression, not scan speedup. For speed AND compression, route through
+IVF first (posting-list pruning), as BASELINE config #3 does via
+QuantizedFlatIndex/int8.
 """
 
 from __future__ import annotations
@@ -206,6 +219,11 @@ class PQIndex(BaseIndex):
     def search(self, queries, k: int = 10, *, rerank: int = 0,
                **kw) -> Tuple[np.ndarray, np.ndarray]:
         q, single = as_batch(queries)
+        if rerank and self._orig is None:
+            raise ValueError(
+                "rerank requires keep_originals=True (the compressed codes "
+                "alone cannot produce exact distances); build with "
+                "PQIndex(..., keep_originals=True) or pass rerank=0")
         if self._spherical:
             q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True),
                                 1e-30)

@@ -93,3 +93,9 @@ def test_pq_save_load(tmp_path, corpus, rng):
     idx2 = PQIndex.load(str(tmp_path / "pq"))
     d2, i2 = idx2.search(q, k=5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_pq_rerank_without_originals_raises(corpus):
+    idx = PQIndex(corpus, n_sub=8, ksub=64, seed=0)
+    with pytest.raises(ValueError, match="keep_originals"):
+        idx.search(corpus[:2], k=5, rerank=4)
