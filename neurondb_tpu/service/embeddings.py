@@ -33,6 +33,13 @@ class EmbeddingService:
         self._configs: Dict[str, EmbeddingModelConfig] = {
             "default": EmbeddingModelConfig("default")}
         self._lock = threading.Lock()
+        self._vision = None
+
+    def set_vision_encoder(self, encoder) -> None:
+        """Install a ml.vision.VisionEncoder (e.g. from real ViT weights
+        via VisionEncoder.from_npz); embed_image then runs the genuine
+        vision transformer instead of the histogram fallback."""
+        self._vision = encoder
 
     # ---- model-config CRUD (embeddings.c:1233-1687) ----
     def add_model(self, cfg: EmbeddingModelConfig) -> None:
@@ -70,11 +77,19 @@ class EmbeddingService:
 
     def embed_image(self, image_bytes: bytes,
                     model: str = "default") -> np.ndarray:
-        """Image embedding: byte-histogram projection fallback (the
-        reference dispatches to GPU CLIP-style kernels; without bundled
-        vision weights we embed a 256-bin byte histogram into the text
-        dim so multimodal pipelines stay runnable)."""
+        """Image embedding (embeddings.c:813 / hf_image_embed). With a
+        vision encoder installed (set_vision_encoder) this runs a real
+        ViT; otherwise a byte-histogram projection keeps multimodal
+        pipelines runnable without bundled weights."""
         cfg = self.get_model(model)
+        if self._vision is not None:
+            v = np.asarray(self._vision.embed_bytes(image_bytes),
+                           np.float32)
+            if v.shape[0] >= cfg.dim:
+                v = v[: cfg.dim]
+            else:
+                v = np.pad(v, (0, cfg.dim - v.shape[0]))
+            return v / max(np.linalg.norm(v), 1e-12)
         hist = np.bincount(np.frombuffer(image_bytes, np.uint8),
                            minlength=256).astype(np.float32)
         hist /= max(hist.sum(), 1.0)

@@ -31,23 +31,39 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--cross-encoder", action="store_true",
                     help="export a sequence-classification head too")
+    ap.add_argument("--vision", action="store_true",
+                    help="export a ViTModel (google/vit-base-class) for "
+                         "ml.vision.VisionEncoder.from_npz")
     args = ap.parse_args()
 
     import numpy as np
     from transformers import AutoConfig, AutoModel, AutoTokenizer
     if args.cross_encoder:
         from transformers import AutoModelForSequenceClassification as M
+    elif args.vision:
+        from transformers import ViTModel as M
     else:
         M = AutoModel
 
     os.makedirs(args.out, exist_ok=True)
     model = M.from_pretrained(args.model)
-    tok = AutoTokenizer.from_pretrained(args.model)
     cfg = AutoConfig.from_pretrained(args.model)
 
     state = {k: v.detach().cpu().numpy()
              for k, v in model.state_dict().items()}
     np.savez_compressed(os.path.join(args.out, "weights.npz"), **state)
+
+    if args.vision:
+        with open(os.path.join(args.out, "config.json"), "w") as f:
+            json.dump({"hidden": cfg.hidden_size,
+                       "heads": cfg.num_attention_heads,
+                       "layers": cfg.num_hidden_layers,
+                       "patch": cfg.patch_size,
+                       "image_size": cfg.image_size,
+                       "model": args.model}, f, indent=2)
+        print("exported vision", args.model, "->", args.out)
+        return
+    tok = AutoTokenizer.from_pretrained(args.model)
 
     vocab = tok.get_vocab()
     inv = sorted(vocab, key=vocab.get)
