@@ -87,3 +87,23 @@ def test_bulk_delete_and_compact(clustered):
     assert idx._router is not None           # reps remapped, not dropped
     _, ids = idx.search(q, k=10, ef=64)
     assert not np.isin(ids, drop).any()
+
+
+def test_nn_descent_refinement_improves_uniform_recall(rng):
+    """NN-descent rounds (neighbors-of-neighbors re-prune) must lift
+    recall on uniform-random data, the bulk build's hardest case (the
+    IVF bootstrap's candidates are probe-local)."""
+    from neurondb_tpu.index import FlatIndex, HNSWIndex
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    q = x[:128] + 0.001
+    _, gt = FlatIndex(x).search(q, k=10)
+
+    def recall(refine):
+        idx = HNSWIndex(None, dim=32, m=16, ef_construction=200, seed=0)
+        idx.build_bulk(x, refine=refine)
+        _, ids = idx.search(q, k=10, ef=48)
+        return np.mean([len(set(a) & set(b)) / 10 for a, b in zip(ids, gt)])
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0 - 0.01          # never meaningfully worse
+    assert r1 > 0.8                 # and decent in absolute terms
