@@ -5,6 +5,15 @@ batched beam-search kernel measured 279s cold, 1.04s warm), so the
 persistent XLA compilation cache is load-bearing: it amortizes compiles
 across processes (driver compile-checks, benchmarks, services). Enabled
 at import of neurondb_tpu; opt out with NEURONDB_TPU_COMPCACHE=0.
+
+TPU-only by design: XLA:CPU persists AOT machine code whose cache key
+does not pin the host's CPU features, so a cache written on one machine
+SIGILL/SIGSEGVs when loaded on another (observed round 2: the full test
+suite segfaulted inside backend_compile_and_load after the cache dir
+travelled between hosts, with cpu_aot_loader warning "+prefer-no-scatter
+is not supported on the host machine ... could lead to execution errors
+such as SIGILL"). CPU compiles are fast; caching them is all risk and
+no win.
 """
 
 from __future__ import annotations
@@ -21,6 +30,11 @@ def enable_compilation_cache() -> None:
     _done = True
     try:
         import jax
+
+        plats = (jax.config.jax_platforms
+                 or os.environ.get("JAX_PLATFORMS", "") or "")
+        if not plats.startswith(("tpu", "axon")):
+            return                      # CPU/auto: see module docstring
         cache_dir = os.environ.get(
             "NEURONDB_TPU_COMPCACHE_DIR",
             os.path.expanduser("~/.cache/neurondb_tpu_xla"))
