@@ -496,6 +496,10 @@ def register_engine_tools(srv: MCPServer) -> None:
                 "steps": {"type": "integer"}}, ["series"]), t_forecast)
 
     def t_topics(a: Dict):
+        if a.get("method", "kmeans") == "lda":
+            from neurondb_tpu.ml.extras import lda_topics
+            return lda_topics(a["documents"],
+                              n_topics=int(a.get("n_topics", 5)))
         from neurondb_tpu.ml.extras import discover_topics
         return discover_topics(a["documents"],
                                n_topics=int(a.get("n_topics", 5)))

@@ -91,3 +91,38 @@ def test_gcn_two_cliques(rng):
                       iters=150, seed=0)
     pred = np.asarray(G.gcn_predict(model, X))
     assert (pred == y).mean() > 0.9
+
+
+def test_lda_recovers_planted_topics():
+    """Variational-EM LDA (the reference's ml_topic_discovery.c never
+    trains its 'simplified LDA' — ours must actually recover structure)."""
+    rng = np.random.default_rng(0)
+    V, K, D = 60, 3, 200
+    true_tw = np.zeros((K, V))
+    for k in range(K):
+        true_tw[k, k * 20:(k + 1) * 20] = 1 / 20
+    X = np.zeros((D, V), np.float32)
+    zs = rng.integers(0, K, D)
+    for d in range(D):
+        words = rng.choice(V, size=50, p=true_tw[zs[d]])
+        np.add.at(X[d], words, 1)
+    tw, dt = EX.lda_fit(X, K, iters=60, seed=1)
+    assert tw.shape == (K, V) and dt.shape == (D, K)
+    np.testing.assert_allclose(tw.sum(1), 1.0, atol=1e-4)
+    purity = tw.reshape(K, K, 20).sum(-1).max(1).mean()
+    assert purity > 0.95, purity
+    # doc assignments consistent with the planted labels
+    pred = dt.argmax(1)
+    agree = np.mean([(pred[a] == pred[b]) == (zs[a] == zs[b])
+                     for a in range(60) for b in range(60)])
+    assert agree > 0.95
+
+
+def test_lda_topics_words():
+    docs = ["apple banana fruit salad", "banana apple smoothie",
+            "rocket launch orbit space", "orbit satellite rocket",
+            "guitar drum music band", "music guitar concert"]
+    out = EX.lda_topics(docs, 3, iters=40, seed=0)
+    assert out["n_topics"] == 3
+    words = {w for t in out["topics"] for w in t["words"][:3]}
+    assert {"apple", "rocket", "music"} & words
