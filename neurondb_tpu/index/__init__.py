@@ -18,3 +18,4 @@ from neurondb_tpu.index.specialty import (  # noqa: F401
     ConsistentIndex,
     RerankReadyIndex,
 )
+from neurondb_tpu.index.ivfpq import IVFPQIndex  # noqa: F401

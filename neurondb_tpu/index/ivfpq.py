@@ -1,0 +1,275 @@
+"""IVF-PQ: coarse-quantized posting lists of PQ codes.
+
+Composes the reference's two compression paths — IVF partitioning
+(NeuronDB/src/index/ivf_am.c) and product quantization
+(src/ml/ml_product_quantization.c: train_pq_codebook:192,
+pq_asymmetric_distance:1003) — into the classic IVF-PQ layout the
+reference never ships: posting lists store n_sub-byte PQ codes of the
+residual (x - centroid), decoded on the fly inside the probe scan.
+
+Why this matters on TPU: a DEEP-100M-class corpus (100M x 96-d f32 =
+38 GB) cannot sit in one chip's 16 GB HBM; at n_sub=16 the codes are
+1.6 GB. The scan stays MXU-shaped via the decode+GEMM identity
+(index/pq.py module docstring): each probed segment gathers codes
+(16 B/row instead of 256-512 B/row — 16-32x less HBM traffic), decodes
+against VMEM-resident codebooks, and scores ||q - c - dec(code)||^2 =
+||q-c||^2 + ||dec||^2 - 2(q-c)·dec with f32 MXU accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurondb_tpu.config import get_config
+from neurondb_tpu.index.base import BaseIndex, as_batch
+from neurondb_tpu.index.pq import pq_decode, pq_encode, train_pq_codebook
+from neurondb_tpu.ml.kmeans import kmeans_fit, kmeans_predict
+from neurondb_tpu.ops import distance as D
+from neurondb_tpu.ops import topk as TK
+
+SEGMENT = 512
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "max_segs", "segment"))
+def _ivfpq_search_device(
+    q: jax.Array,           # [B, D] f32 (pre-normalized for cosine)
+    centroids: jax.Array,   # [nlist, D]
+    codebooks: jax.Array,   # [n_sub, ksub, dsub]
+    codes: jax.Array,       # [Npad, n_sub] uint8, cluster-contiguous
+    row_ids: jax.Array,     # [Npad] int32 original row (-1 = pad/dead)
+    offsets: jax.Array,     # [nlist]
+    counts: jax.Array,      # [nlist]
+    *, k: int, nprobe: int, metric: str, max_segs: int, segment: int,
+) -> Tuple[jax.Array, jax.Array]:
+    B = q.shape[0]
+
+    cd = D.pairwise_distance(
+        q, centroids, "sqeuclidean" if metric != "ip" else "ip")
+    _, probes = TK.topk_smallest(cd, nprobe)                 # [B, nprobe]
+
+    init = (jnp.full((B, k), TK.NEG_FILL, jnp.float32),
+            jnp.full((B, k), -1, jnp.int32))
+
+    def probe_step(carry, probe_col):                        # [B]
+        bvals, bids = carry
+        off = offsets[probe_col]
+        cnt = counts[probe_col]
+        c = centroids[probe_col]                             # [B, D]
+        if metric == "ip":
+            qc_dot = jnp.einsum("bd,bd->b", q, c)            # q·c
+        else:
+            qc = q - c                                       # residual query
+            qc_sq = jnp.sum(qc * qc, axis=1)
+
+        def seg_step(carry, s):
+            bvals, bids = carry
+            start = off + s * segment
+            rows = start[:, None] + jnp.arange(segment)[None, :]
+            in_list = rows < (off + cnt)[:, None]
+            rows_safe = jnp.clip(rows, 0, codes.shape[0] - 1)
+            cseg = codes[rows_safe]                          # [B, S, n_sub]
+            # decode as one-hot bf16 MXU matmuls, NOT per-subspace
+            # gathers: XLA's scalar-gather throughput (~240M lookups/s
+            # measured) made the gather decode 3x slower than burning
+            # ksub*dsub MXU FLOPs per lookup (41 -> 14 ms/segment at
+            # B=1024, S=512, n_sub=16 on v5e)
+            oh = jax.nn.one_hot(cseg.reshape(-1, cseg.shape[-1]),
+                                codebooks.shape[1], dtype=jnp.bfloat16)
+            dec = jnp.einsum("xjk,jkd->xjd", oh,
+                             codebooks.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            dec = dec.reshape(B, segment, -1)                # [B, S, D]
+            if metric == "ip":
+                d = -(qc_dot[:, None]
+                      + jnp.einsum("bd,bsd->bs", q, dec,
+                                   preferred_element_type=jnp.float32))
+            else:
+                dots = jnp.einsum("bd,bsd->bs", qc, dec,
+                                  preferred_element_type=jnp.float32)
+                d = jnp.maximum(
+                    qc_sq[:, None] + jnp.sum(dec * dec, axis=-1)
+                    - 2.0 * dots, 0.0)
+            cand_ids = jnp.where(in_list, row_ids[rows_safe], -1)
+            d = jnp.where(in_list & (cand_ids >= 0), d, TK.NEG_FILL)
+            cv, cpos = TK.topk_smallest(d, min(k, segment))
+            cids = jnp.take_along_axis(cand_ids, cpos, axis=-1)
+            return TK.merge_topk(bvals, bids, cv, cids, k), None
+
+        (bvals, bids), _ = jax.lax.scan(seg_step, (bvals, bids),
+                                        jnp.arange(max_segs))
+        return (bvals, bids), None
+
+    (vals, ids), _ = jax.lax.scan(probe_step, init, probes.T)
+    return vals, ids
+
+
+class IVFPQIndex(BaseIndex):
+    """IVF over PQ-compressed residual codes + optional exact rerank."""
+
+    kind = "ivfpq"
+
+    def __init__(self, vectors, *, nlists: Optional[int] = None,
+                 n_sub: int = 16, ksub: int = 256, metric: str = "l2",
+                 ids=None, seed: int = 0, sample_cap: int = 131072,
+                 keep_originals: bool = False):
+        cfg = get_config()
+        x = np.asarray(vectors, np.float32)
+        n, d = x.shape
+        if d % n_sub:
+            raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+        self.metric = D.canonical_metric(metric)
+        self.dim = d
+        self.n = n
+        self.n_sub = n_sub
+        self.ksub = min(ksub, max(n, 2))
+        self.nlists = max(1, min(int(nlists or cfg.ivf_nlists), n))
+        self._seed = seed
+        self._ids = (np.asarray(ids, np.int64) if ids is not None
+                     else np.arange(n, dtype=np.int64))
+        self._spherical = self.metric == "cosine"
+        if self._spherical:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                               1e-30)
+        rng = np.random.default_rng(seed)
+
+        # coarse quantizer (sampled Lloyd's, ivf_am.c:580 sampling rule)
+        sample = x if n <= sample_cap else \
+            x[rng.choice(n, sample_cap, replace=False)]
+        state = kmeans_fit(jnp.asarray(sample), self.nlists,
+                           max_iter=cfg.ivf_kmeans_iters,
+                           tol=cfg.ivf_kmeans_tol, seed=seed)
+        self.centroids = state.centroids
+        labels = np.asarray(kmeans_predict(state.centroids, jnp.asarray(x)))
+
+        # PQ codebooks on RESIDUALS (x - centroid): residual energy is
+        # what remains after the coarse quantizer, so the same code
+        # budget buys far less distortion than encoding raw vectors
+        resid = x - np.asarray(self.centroids)[labels]
+        rs = resid if n <= sample_cap else \
+            resid[rng.choice(n, sample_cap, replace=False)]
+        self.codebooks = train_pq_codebook(jnp.asarray(rs), n_sub=n_sub,
+                                           ksub=self.ksub)
+        codes = np.asarray(pq_encode(self.codebooks, jnp.asarray(resid)))
+
+        # CSR layout (cluster-contiguous, padded to SEGMENT)
+        order = np.argsort(labels, kind="stable")
+        counts = np.bincount(labels, minlength=self.nlists).astype(np.int32)
+        offsets = np.zeros(self.nlists, np.int32)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        npad = max(1, -(-n // SEGMENT) * SEGMENT) + SEGMENT
+        cp = np.zeros((npad, n_sub), codes.dtype)
+        cp[:n] = codes[order]
+        rid = np.full(npad, -1, np.int64)
+        rid[:n] = order
+        self._codes = jnp.asarray(cp)
+        self._row_ids = jnp.asarray(rid.astype(np.int32))
+        self._offsets = jnp.asarray(offsets)
+        self._counts = jnp.asarray(counts)
+        self.max_list = int(counts.max()) if n else 1
+        self._alive = np.ones(n, bool)
+        self._orig = jnp.asarray(x) if keep_originals else None
+
+    @property
+    def code_bytes(self) -> int:
+        return int(self.n * self.n_sub)
+
+    def delete(self, ids) -> int:
+        """Tombstone delete: dead rows' row_ids become -1 on device; the
+        scan masks them (ivf_am bulkdelete semantics at code granularity)."""
+        kill = np.isin(self._ids, np.asarray(ids, np.int64)) & self._alive
+        removed = int(kill.sum())
+        if removed:
+            self._alive &= ~kill
+            rid = np.array(self._row_ids)
+            dead_rows = np.nonzero(np.isin(
+                np.maximum(rid, 0), np.nonzero(kill)[0]) & (rid >= 0))[0]
+            self._row_ids = self._row_ids.at[jnp.asarray(dead_rows)].set(-1)
+        return removed
+
+    def search(self, queries, k: int = 10, *, nprobe: int = 10,
+               rerank: int = 0, **kw) -> Tuple[np.ndarray, np.ndarray]:
+        if rerank and self._orig is None:
+            raise ValueError("rerank requires keep_originals=True")
+        q, single = as_batch(queries)
+        if self._spherical:
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True),
+                                1e-30)
+        nprobe = min(nprobe, self.nlists)
+        kk = min(k, max(self.n, 1))
+        coarse_k = max(kk, min(self.n, kk * max(rerank, 1)))
+        max_segs = max(1, -(-self.max_list // SEGMENT))
+        metric = "ip" if self.metric == "ip" else "sqeuclidean"
+        vals, rows = _ivfpq_search_device(
+            q, self.centroids, self.codebooks, self._codes, self._row_ids,
+            self._offsets, self._counts, k=coarse_k, nprobe=nprobe,
+            metric=metric, max_segs=max_segs, segment=SEGMENT)
+        if rerank:
+            rs = jnp.maximum(rows, 0)
+            cand = self._orig[rs]
+            if self.metric == "ip":
+                dd = -jnp.einsum("bd,bcd->bc", q, cand)
+            else:
+                diff = q[:, None, :] - cand
+                dd = jnp.sum(diff * diff, axis=-1)
+            dd = jnp.where(rows >= 0, dd, TK.NEG_FILL)
+            vals, pos = TK.topk_smallest(dd, kk)
+            rows = jnp.take_along_axis(rows, pos, axis=-1)
+        else:
+            vals, rows = vals[:, :kk], rows[:, :kk]
+        vals, rows = np.asarray(vals), np.asarray(rows)
+        if self.metric == "l2":
+            vals = np.sqrt(np.maximum(vals, 0.0))
+        elif self.metric == "cosine":
+            vals = vals * 0.5
+        ids = np.where(rows >= 0, self._ids[np.maximum(rows, 0)], -1)
+        vals = np.where(ids >= 0, vals, np.inf)
+        return (vals[0], ids[0]) if single else (vals, ids)
+
+    # ---- persistence ----
+    def _state(self):
+        arrays = {"centroids": self.centroids, "codebooks": self.codebooks,
+                  "codes": self._codes, "row_ids": self._row_ids,
+                  "offsets": self._offsets, "counts": self._counts,
+                  "ids": self._ids, "alive": self._alive}
+        if self._orig is not None:
+            arrays["orig"] = self._orig
+        return arrays, {"n": self.n, "n_sub": self.n_sub,
+                        "ksub": self.ksub, "nlists": self.nlists,
+                        "max_list": self.max_list, "seed": self._seed}
+
+    def _load_state(self, arrays, meta):
+        self.metric = meta["metric"]
+        self.dim = meta["dim"]
+        self.n = meta["n"]
+        self.n_sub = meta["n_sub"]
+        self.ksub = meta["ksub"]
+        self.nlists = meta["nlists"]
+        self.max_list = meta["max_list"]
+        self._seed = meta.get("seed", 0)
+        self._spherical = self.metric == "cosine"
+        self.centroids = jnp.asarray(arrays["centroids"])
+        self.codebooks = jnp.asarray(arrays["codebooks"])
+        self._codes = jnp.asarray(arrays["codes"].astype(np.uint8))
+        self._row_ids = jnp.asarray(arrays["row_ids"].astype(np.int32))
+        self._offsets = jnp.asarray(arrays["offsets"].astype(np.int32))
+        self._counts = jnp.asarray(arrays["counts"].astype(np.int32))
+        self._ids = np.asarray(arrays["ids"], np.int64)
+        self._alive = np.asarray(arrays["alive"], bool)
+        self._orig = (jnp.asarray(arrays["orig"])
+                      if "orig" in arrays else None)
+
+    def stats(self) -> Dict[str, Any]:
+        counts = np.asarray(self._counts)
+        return {"kind": self.kind, "n": self.n, "nlists": self.nlists,
+                "n_sub": self.n_sub, "code_bytes": self.code_bytes,
+                "raw_bytes": self.n * self.dim * 4,
+                "compression": round(self.dim * 4 / self.n_sub, 1),
+                "max_list": int(counts.max()) if len(counts) else 0,
+                "alive": int(self._alive.sum())}
