@@ -75,15 +75,18 @@ def _ivfpq_search_device(
             in_list = rows < (off + cnt)[:, None]
             rows_safe = jnp.clip(rows, 0, codes.shape[0] - 1)
             cseg = codes[rows_safe]                          # [B, S, n_sub]
-            # decode as one-hot bf16 MXU matmuls, NOT per-subspace
-            # gathers: XLA's scalar-gather throughput (~240M lookups/s
-            # measured) made the gather decode 3x slower than burning
-            # ksub*dsub MXU FLOPs per lookup (41 -> 14 ms/segment at
-            # B=1024, S=512, n_sub=16 on v5e)
+            # decode as one-hot MXU matmuls, NOT per-subspace gathers:
+            # XLA's scalar-gather throughput (~240M lookups/s measured)
+            # made the gather decode 3x slower than burning ksub*dsub
+            # MXU FLOPs per lookup (41 -> 14 ms/segment at B=1024,
+            # S=512, n_sub=16 on v5e). bf16 inputs only on TPU — XLA:CPU
+            # has no bf16 x bf16 -> f32 DotThunk (trace-time constant,
+            # so each backend's jit cache holds its own variant)
+            dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                  else jnp.float32)
             oh = jax.nn.one_hot(cseg.reshape(-1, cseg.shape[-1]),
-                                codebooks.shape[1], dtype=jnp.bfloat16)
-            dec = jnp.einsum("xjk,jkd->xjd", oh,
-                             codebooks.astype(jnp.bfloat16),
+                                codebooks.shape[1], dtype=dt)
+            dec = jnp.einsum("xjk,jkd->xjd", oh, codebooks.astype(dt),
                              preferred_element_type=jnp.float32)
             dec = dec.reshape(B, segment, -1)                # [B, S, D]
             if metric == "ip":
@@ -107,6 +110,31 @@ def _ivfpq_search_device(
         return (bvals, bids), None
 
     (vals, ids), _ = jax.lax.scan(probe_step, init, probes.T)
+    return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "nprobe_pad"))
+def _ivfpq_search_grouped(q, centroids, codebooks, codes_t, row_ids,
+                          offsets, counts, nprobe, *, k: int, metric: str,
+                          nprobe_pad: int):
+    """TPU fast path, ONE jit (dispatch latency dominates chained jits on
+    this backend): coarse centroid stage -> tuple grouping -> per-tuple
+    ADC LUTs -> grouped Pallas scan -> cross-probe merge -> id map.
+    ``nprobe`` is traced; columns >= nprobe probe the sentinel list so
+    every nprobe in a pad bucket shares one compilation."""
+    from neurondb_tpu.ops.pallas import ivfpq_scan as PQS
+    nlists = counts.shape[0]
+    cd = D.pairwise_distance(
+        q, centroids, "sqeuclidean" if metric != "ip" else "ip")
+    _, probes = TK.topk_smallest(cd, nprobe_pad)
+    probes = probes.astype(jnp.int32)
+    col = jnp.arange(nprobe_pad, dtype=jnp.int32)[None, :]
+    probes = jnp.where(col < nprobe, probes, nlists)
+    vals, rows = PQS.ivfpq_grouped_search(
+        q, probes, centroids, codebooks, codes_t, offsets, counts,
+        k=k, metric=metric)
+    ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
+    vals = jnp.where(ids >= 0, vals, TK.NEG_FILL)
     return vals, ids
 
 
@@ -158,17 +186,34 @@ class IVFPQIndex(BaseIndex):
                                            ksub=self.ksub)
         codes = np.asarray(pq_encode(self.codebooks, jnp.asarray(resid)))
 
-        # CSR layout (cluster-contiguous, padded to SEGMENT)
+        # Aligned CSR layout: every list offset is a LIST_ALIGN multiple
+        # (uint8 lane alignment for the grouped kernel's code-column
+        # slices); gap rows are dead (row_ids -1, cnt-masked)
+        from neurondb_tpu.ops.pallas.ivfpq_scan import LIST_ALIGN, SEG
         order = np.argsort(labels, kind="stable")
         counts = np.bincount(labels, minlength=self.nlists).astype(np.int32)
+        aligned = ((counts + LIST_ALIGN - 1) // LIST_ALIGN) * LIST_ALIGN
         offsets = np.zeros(self.nlists, np.int32)
-        np.cumsum(counts[:-1], out=offsets[1:])
-        npad = max(1, -(-n // SEGMENT) * SEGMENT) + SEGMENT
+        np.cumsum(aligned[:-1], out=offsets[1:])
+        total = int(aligned.sum())
+        npad = max(1, -(-total // SEG) * SEG) + SEG
         cp = np.zeros((npad, n_sub), codes.dtype)
-        cp[:n] = codes[order]
         rid = np.full(npad, -1, np.int64)
-        rid[:n] = order
-        self._codes = jnp.asarray(cp)
+        src = np.zeros(self.nlists + 1, np.int64)
+        np.cumsum(counts, out=src[1:])
+        co = codes[order]
+        for lid in range(self.nlists):
+            o, c = offsets[lid], counts[lid]
+            cp[o:o + c] = co[src[lid]:src[lid] + c]
+            rid[o:o + c] = order[src[lid]:src[lid] + c]
+        self._use_kernel = jax.default_backend() == "tpu"
+        if self._use_kernel:
+            # subspace-major for the kernel's [n_sub, SEG] column DMAs
+            self._codes_t = jnp.asarray(np.ascontiguousarray(cp.T))
+            self._codes = None
+        else:
+            self._codes = jnp.asarray(cp)
+            self._codes_t = None
         self._row_ids = jnp.asarray(rid.astype(np.int32))
         self._offsets = jnp.asarray(offsets)
         self._counts = jnp.asarray(counts)
@@ -204,12 +249,29 @@ class IVFPQIndex(BaseIndex):
         nprobe = min(nprobe, self.nlists)
         kk = min(k, max(self.n, 1))
         coarse_k = max(kk, min(self.n, kk * max(rerank, 1)))
-        max_segs = max(1, -(-self.max_list // SEGMENT))
         metric = "ip" if self.metric == "ip" else "sqeuclidean"
-        vals, rows = _ivfpq_search_device(
-            q, self.centroids, self.codebooks, self._codes, self._row_ids,
-            self._offsets, self._counts, k=coarse_k, nprobe=nprobe,
-            metric=metric, max_segs=max_segs, segment=SEGMENT)
+        # the grouped kernel scores tombstoned rows (it sees only codes);
+        # with deletes outstanding, route to the XLA path which masks
+        # dead rows before its running top-k
+        if self._use_kernel and self._alive.all():
+            npad = 4
+            while npad < nprobe:
+                npad *= 4                      # pow-4 compile buckets
+            npad = min(npad, self.nlists)
+            vals, rows = _ivfpq_search_grouped(
+                q, self.centroids, self.codebooks, self._codes_t,
+                self._row_ids, self._offsets, self._counts,
+                jnp.int32(nprobe), k=coarse_k, metric=metric,
+                nprobe_pad=max(npad, nprobe))
+        else:
+            if self._codes is None:            # derived once from codes_t
+                self._codes = jnp.asarray(self._codes_t.T)
+            max_segs = max(1, -(-self.max_list // SEGMENT))
+            vals, rows = _ivfpq_search_device(
+                q, self.centroids, self.codebooks, self._codes,
+                self._row_ids, self._offsets, self._counts, k=coarse_k,
+                nprobe=nprobe, metric=metric, max_segs=max_segs,
+                segment=SEGMENT)
         if rerank:
             rs = jnp.maximum(rows, 0)
             cand = self._orig[rs]
@@ -234,8 +296,10 @@ class IVFPQIndex(BaseIndex):
 
     # ---- persistence ----
     def _state(self):
+        codes = (self._codes if self._codes is not None
+                 else jnp.asarray(self._codes_t.T))
         arrays = {"centroids": self.centroids, "codebooks": self.codebooks,
-                  "codes": self._codes, "row_ids": self._row_ids,
+                  "codes": codes, "row_ids": self._row_ids,
                   "offsets": self._offsets, "counts": self._counts,
                   "ids": self._ids, "alive": self._alive}
         if self._orig is not None:
@@ -256,7 +320,14 @@ class IVFPQIndex(BaseIndex):
         self._spherical = self.metric == "cosine"
         self.centroids = jnp.asarray(arrays["centroids"])
         self.codebooks = jnp.asarray(arrays["codebooks"])
-        self._codes = jnp.asarray(arrays["codes"].astype(np.uint8))
+        cp = arrays["codes"].astype(np.uint8)
+        self._use_kernel = jax.default_backend() == "tpu"
+        if self._use_kernel:
+            self._codes_t = jnp.asarray(np.ascontiguousarray(cp.T))
+            self._codes = None
+        else:
+            self._codes = jnp.asarray(cp)
+            self._codes_t = None
         self._row_ids = jnp.asarray(arrays["row_ids"].astype(np.int32))
         self._offsets = jnp.asarray(arrays["offsets"].astype(np.int32))
         self._counts = jnp.asarray(arrays["counts"].astype(np.int32))

@@ -79,3 +79,51 @@ def test_ivfpq_save_load(tmp_path, corpus, queries):
 def test_ivfpq_dim_validation():
     with pytest.raises(ValueError, match="divisible"):
         IVFPQIndex(np.zeros((10, 50), np.float32), nlists=2, n_sub=16)
+
+
+def test_grouped_pq_kernel_matches_oracle(rng):
+    """Interpret-mode parity: the grouped ADC-LUT kernel must reproduce
+    brute-force squared-L2 over the probed lists exactly (f32 LUT sums)."""
+    import jax.numpy as jnp
+    from neurondb_tpu.index.ivfpq import IVFPQIndex
+    from neurondb_tpu.ops.pallas import ivfpq_scan as PQS
+
+    x = rng.standard_normal((3000, 32)).astype(np.float32)
+    idx = IVFPQIndex(x, nlists=8, n_sub=8, seed=0)
+    # force the transposed layout regardless of backend
+    if idx._codes_t is None:
+        codes_t = jnp.asarray(np.ascontiguousarray(np.asarray(idx._codes).T))
+    else:
+        codes_t = idx._codes_t
+    q = x[:32] + 0.01
+    nlists = idx.nlists
+    cd = ((q[:, None, :] - np.asarray(idx.centroids)[None]) ** 2).sum(-1)
+    probes = np.argsort(cd, axis=1)[:, :4].astype(np.int32)
+    vals, rows = PQS.ivfpq_grouped_search(
+        jnp.asarray(q), jnp.asarray(probes), idx.centroids, idx.codebooks,
+        codes_t, idx._offsets, idx._counts, k=10, interpret=True)
+    vals, rows = np.asarray(vals), np.asarray(rows)
+
+    # oracle: decode every probed row, exact squared L2
+    from neurondb_tpu.index.pq import pq_decode
+    offsets = np.asarray(idx._offsets)
+    counts = np.asarray(idx._counts)
+    codes_rm = np.asarray(codes_t).T
+    cent = np.asarray(idx.centroids)
+    rid = np.asarray(idx._row_ids)
+    for b in range(8):
+        ds, rs = [], []
+        for lid in probes[b]:
+            o, c = int(offsets[lid]), int(counts[lid])
+            dec = np.asarray(pq_decode(idx.codebooks,
+                                       jnp.asarray(codes_rm[o:o + c])))
+            xa = dec + cent[lid]
+            ds.append(((xa - q[b]) ** 2).sum(1))
+            rs.append(np.arange(o, o + c))
+        d = np.concatenate(ds)
+        r = np.concatenate(rs)
+        o_ = np.argsort(d, kind="stable")[:10]
+        got_rows = rows[b][rows[b] >= 0]
+        np.testing.assert_allclose(np.sort(vals[b][:len(o_)]),
+                                   np.sort(d[o_]), rtol=1e-4, atol=1e-4)
+        assert set(np.asarray(rid)[got_rows]) == set(np.asarray(rid)[r[o_]])
