@@ -27,3 +27,18 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults (in LLVM JIT compilation) after many hundreds
+    of compiled executables accumulate in one process — observed as
+    flaky 'Fatal Python error: Segmentation fault' inside
+    backend_compile_and_load late in full-suite runs, at different
+    tests each time, while every module passes in isolation. Dropping
+    the compilation caches between modules frees the JIT code pages."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
