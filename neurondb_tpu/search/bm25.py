@@ -103,9 +103,19 @@ class BM25Index:
 
     def __init__(self, docs: Sequence[str], *, k1: float = 1.2,
                  b: float = 0.75, ids: Optional[Sequence[int]] = None,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 prune_idf_below: float = 0.01):
         self.k1 = k1
         self.b = b
+        # Terms in nearly every document have Robertson idf ~= 0 (df=N
+        # gives log(0.5/(N+0.5)+1) ~ 1/(2N)) yet dominate posting-scan
+        # cost: at 200k docs a df=N term alone is 391 device segments
+        # per query (measured: 5.6 s of a 6.3 s hybrid batch). Skipping
+        # terms with idf < prune_idf_below (df > ~98% of docs at the
+        # default) bounds each posting's lost contribution by
+        # idf*(k1+1) < 0.025 — noise next to typical scores of 1-10.
+        # Applied identically in the host oracle and the device path.
+        self.prune_idf_below = prune_idf_below
         self.n_docs = len(docs)
         self.ids = np.asarray(ids if ids is not None else range(len(docs)),
                               np.int64)
@@ -202,7 +212,7 @@ class BM25Index:
             q_terms = tokenize(query)
         for t in q_terms:
             ti = self._term_index(t)
-            if ti is None:
+            if ti is None or self.idf[ti] < self.prune_idf_below:
                 continue
             s, e = self._offsets[ti], self._offsets[ti + 1]
             rows = self._post_doc[s:e]
@@ -233,8 +243,13 @@ class BM25Index:
             "post_w": jnp.asarray(np.pad(w.astype(np.float32), (0, pad))),
             "fn": _get_bm25_device_fn(),
             "seg": seg,
-            "max_segs": max(1, -(-int(self.df.max()) // seg))
-            if len(self.df) else 1,
+            # segment budget from the largest NON-pruned posting list
+            # (pruned near-ubiquitous terms never enter query slices)
+            "max_segs": max(1, -(-int(
+                self.df[self.idf >= self.prune_idf_below].max())
+                // seg))
+            if len(self.df) and
+            bool((self.idf >= self.prune_idf_below).any()) else 1,
         }
         return self._dev
 
@@ -246,22 +261,29 @@ class BM25Index:
         offs, cnts = [], []
         for t in q_terms:
             ti = self._term_index(t)
-            if ti is None:
+            if ti is None or self.idf[ti] < self.prune_idf_below:
                 continue
             offs.append(int(self._offsets[ti]))
             cnts.append(int(self._offsets[ti + 1] - self._offsets[ti]))
         return offs, cnts
 
     def scores_batch(self, queries: Sequence[str],
-                     device: Optional[bool] = None) -> np.ndarray:
+                     device: Optional[bool] = None,
+                     return_device: bool = False) -> np.ndarray:
         """[B, n_docs] BM25 scores for a batch of queries. Device path:
         one jitted gather + scatter-add program over the CSR postings
         (weights precomputed at build). Falls back to the host loop for
-        tiny batches/corpora."""
+        tiny batches/corpora. ``return_device=True`` keeps the [B, N]
+        matrix ON DEVICE (a 512 x 200k f32 fetch is 400 MB — the thing
+        that capped hybrid fusion at 11 QPS before device fusion)."""
         if device is None:
             device = self.n_docs >= 2048 and len(queries) > 1
         if not device:
-            return np.stack([self.scores(q) for q in queries])
+            out = np.stack([self.scores(q) for q in queries])
+            if return_device:
+                import jax.numpy as jnp
+                return jnp.asarray(out)
+            return out
         import jax.numpy as jnp
         dev = self._ensure_device()
         B = len(queries)
@@ -286,6 +308,8 @@ class BM25Index:
                         dev["post_doc"], dev["post_w"],
                         n_docs=self.n_docs, seg=dev["seg"],
                         max_segs=dev["max_segs"])
+        if return_device:
+            return out[:B]
         return np.asarray(out)[:B]
 
     def search(self, query: str, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:

@@ -15,10 +15,12 @@ the index API + a BM25Index; set operations are id-aligned numpy.
 
 from __future__ import annotations
 
+import functools
 import math
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,29 +87,99 @@ def hybrid_search(index, bm25: BM25Index, query_vec, query_text: str,
 def hybrid_search_batch(index, bm25: BM25Index, query_vecs,
                         query_texts: Sequence[str], k: int = 10, *,
                         weight: float = 0.5, candidates: int = 100,
-                        **search_kw):
+                        device: Optional[bool] = None, **search_kw):
     """Batched hybrid search: ONE batched ANN call for all queries, then
-    per-query BM25 fusion on host. Returns (scores [B, k], ids [B, k]).
-    The per-query ``hybrid_search`` costs a device roundtrip per call;
-    this is the throughput path."""
+    BM25 fusion. Returns (scores [B, k], ids [B, k]).
+
+    Device fusion (default on large corpora): the [B, n_docs] BM25
+    matrix never leaves the device — normalization, candidate gather,
+    text-only union, dedup, and the final top-k all run in one jit, and
+    only [B, k] results plus [B, candidates] text rows transfer. The
+    host path (``device=False``) is the semantics oracle."""
     q = np.atleast_2d(np.asarray(query_vecs, np.float32))
     vd, vids = index.search(q, k=candidates, **search_kw)
-    row_of = _bm25_row_of(bm25)
-    # one device dispatch scores ALL queries over the CSR postings
-    # (round 2; host per-query loop was the 100k-doc scaling wall)
-    tscores = bm25.scores_batch(list(query_texts))
-    out_s = np.zeros((len(q), k), np.float32)
-    out_i = np.full((len(q), k), -1, np.int64)
-    for b, text in enumerate(query_texts):
-        ok = vids[b] >= 0
-        pool = _fuse_one(vd[b][ok], vids[b][ok], tscores[b],
-                         bm25.ids, row_of, weight=weight,
-                         candidates=candidates)
-        items = sorted(pool.items(), key=lambda kv: -kv[1])[:k]
-        for j, (i, s) in enumerate(items):
-            out_i[b, j] = i
-            out_s[b, j] = s
+    if device is None:
+        device = bm25.n_docs >= 2048 and len(q) > 1
+    if not device:
+        row_of = _bm25_row_of(bm25)
+        tscores = bm25.scores_batch(list(query_texts), device=False)
+        out_s = np.zeros((len(q), k), np.float32)
+        out_i = np.full((len(q), k), -1, np.int64)
+        for b, text in enumerate(query_texts):
+            ok = vids[b] >= 0
+            pool = _fuse_one(vd[b][ok], vids[b][ok], tscores[b],
+                             bm25.ids, row_of, weight=weight,
+                             candidates=candidates)
+            items = sorted(pool.items(), key=lambda kv: -kv[1])[:k]
+            for j, (i, s) in enumerate(items):
+                out_i[b, j] = i
+                out_s[b, j] = s
+        return out_s, out_i
+
+    B, C = vids.shape
+    # external ANN ids -> BM25 rows (host join; ids may be sparse)
+    sorter = np.argsort(bm25.ids)
+    ids_sorted = bm25.ids[sorter]
+    pos = np.searchsorted(ids_sorted, np.maximum(vids, ids_sorted[0]))
+    pos = np.clip(pos, 0, len(ids_sorted) - 1)
+    hit = (ids_sorted[pos] == vids) & (vids >= 0)
+    vrows = np.where(hit, sorter[pos], -1).astype(np.int32)
+    ts_dev = bm25.scores_batch(list(query_texts), return_device=True)
+    fs, fpos, trows = _fuse_batch_device(
+        jnp.asarray(vd), jnp.asarray(vrows), jnp.asarray(vids >= 0),
+        ts_dev, weight=float(weight), k=min(k, 2 * C), candidates=C)
+    fs, fpos, trows = np.asarray(fs), np.asarray(fpos), np.asarray(trows)
+    text_ids = np.where(trows >= 0, bm25.ids[np.maximum(trows, 0)], -1)
+    from_text = fpos >= C
+    col = np.where(from_text, fpos - C, fpos)
+    out_i = np.where(
+        from_text,
+        np.take_along_axis(text_ids, np.minimum(col, C - 1), axis=1),
+        np.take_along_axis(vids, np.minimum(col, C - 1), axis=1))
+    out_i = np.where(fs > NEG_BAD * 0.5, out_i, -1)[:, :k]
+    out_s = np.where(out_i >= 0, fs[:, :k], 0.0).astype(np.float32)
     return out_s, out_i
+
+
+NEG_BAD = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=("weight", "k", "candidates"))
+def _fuse_batch_device(vd, vrows, vvalid, tscores, *, weight: float,
+                       k: int, candidates: int):
+    """Device fusion matching _fuse_one: per-row minmax normalization of
+    the FULL text-score row and of the candidate distances, fused score
+    w*(1-dist_n) + (1-w)*text_n for ANN candidates, text-only union of
+    the top-``candidates`` positive text rows (deduped against the ANN
+    pool), one top-k. Returns (scores [B,k], pos [B,k] into the
+    [ANN C | text C] concat, text rows [B, C])."""
+    B, C = vrows.shape
+    tmin = jnp.min(tscores, axis=1, keepdims=True)
+    tmax = jnp.max(tscores, axis=1, keepdims=True)
+    t_norm = jnp.where(tmax > tmin, (tscores - tmin)
+                       / jnp.maximum(tmax - tmin, 1e-30), 0.0)
+    ok = vrows >= 0          # candidate has a BM25 row
+    vmin = jnp.min(jnp.where(vvalid, vd, jnp.inf), axis=1, keepdims=True)
+    vmax = jnp.max(jnp.where(vvalid, vd, -jnp.inf), axis=1, keepdims=True)
+    v_norm = jnp.where(vmax > vmin,
+                       (vd - vmin) / jnp.maximum(vmax - vmin, 1e-30), 0.0)
+    vec_comp = 1.0 - v_norm
+    rows_safe = jnp.maximum(vrows, 0)
+    txt_at_cand = jnp.where(
+        ok, jnp.take_along_axis(t_norm, rows_safe, axis=1), 0.0)
+    ann_score = jnp.where(vvalid,
+                          weight * vec_comp + (1.0 - weight) * txt_at_cand,
+                          NEG_BAD)
+    # text-only union: top-C positive text rows not already in the pool
+    tv, trows = jax.lax.top_k(tscores, candidates)          # [B, C]
+    dup = (trows[:, :, None] == rows_safe[:, None, :]) & ok[:, None, :]
+    is_dup = dup.any(axis=2)
+    tn_top = jnp.take_along_axis(t_norm, trows, axis=1)
+    text_score = jnp.where((tv > 0) & ~is_dup,
+                           (1.0 - weight) * tn_top, NEG_BAD)
+    cat = jnp.concatenate([ann_score, text_score], axis=1)   # [B, 2C]
+    vals, pos = jax.lax.top_k(cat, k)
+    return vals, pos, trows
 
 
 def reciprocal_rank_fusion(rankings: Sequence[np.ndarray], k: int = 10,

@@ -49,18 +49,25 @@ def main():
         "raw_bytes": int(n * d * 4)}))
 
     # config #4: hybrid vector + BM25 (synthetic docs aligned to clusters)
-    nd_ = 20000
+    nd_ = min(int(os.environ.get("NDB_BENCH_DOCS", 20000)), n)
     docs = [f"topic{i % 64} item {i} cluster word{i % 64}"
             for i in range(nd_)]
     xd = x[:nd_]
-    fidx = FlatIndex(xd, metric="l2")
+    # the deployment path pairs BM25 with an ANN index, not brute force
+    if nd_ >= 50_000:
+        from neurondb_tpu.index import IVFFlatIndex
+        fidx = IVFFlatIndex(xd, nlists=512, metric="l2", seed=0)
+        fkw = {"nprobe": 8}
+    else:
+        fidx = FlatIndex(xd, metric="l2")
+        fkw = {}
     bm = BM25Index(docs)
     n_hq = 512
     qis = rng.integers(0, nd_, n_hq)
     texts = [f"topic{int(qi) % 64} item {int(qi)}" for qi in qis]
-    hybrid_search_batch(fidx, bm, xd[qis], texts, k=k)     # warm
+    hybrid_search_batch(fidx, bm, xd[qis], texts, k=k, **fkw)     # warm
     t0 = time.time()
-    scores, ids = hybrid_search_batch(fidx, bm, xd[qis], texts, k=k)
+    scores, ids = hybrid_search_batch(fidx, bm, xd[qis], texts, k=k, **fkw)
     wall = time.time() - t0
     hits = sum(int(qi in row) for qi, row in zip(qis, ids))
     print(json.dumps({

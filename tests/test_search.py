@@ -254,3 +254,26 @@ def test_hybrid_batch_uses_batch_scores(rng):
         ss, si = hybrid_search(idx, bm, q[b], texts[b], k=5)
         assert set(si.tolist()) == set(bi[b].tolist())
         np.testing.assert_allclose(np.sort(ss), np.sort(bs[b]), rtol=1e-4)
+
+
+def test_hybrid_device_fusion_matches_host_oracle(rng):
+    """The device fusion path (normalization + union + dedup + top-k in
+    one jit) must reproduce the host _fuse_one semantics."""
+    from neurondb_tpu.index import FlatIndex
+    n = 3000
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    # external ids deliberately sparse/non-contiguous
+    ext = (np.arange(n, dtype=np.int64) * 7 + 3)
+    docs = [f"term{i % 37} body word{i % 11} filler" for i in range(n)]
+    idx = FlatIndex(x, ids=ext)
+    bm = B.BM25Index(docs, ids=ext)
+    q = x[5:21] + 0.01
+    texts = [f"term{(5 + i) % 37} word{(5 + i) % 11}" for i in range(16)]
+    s_h, i_h = H.hybrid_search_batch(idx, bm, q, texts, k=8, device=False)
+    s_d, i_d = H.hybrid_search_batch(idx, bm, q, texts, k=8, device=True)
+    # same documents in the same order (ties broken identically is not
+    # guaranteed across top_k implementations — compare sets + scores)
+    for b in range(16):
+        assert set(i_d[b]) == set(i_h[b]), (b, i_d[b], i_h[b])
+    np.testing.assert_allclose(np.sort(s_d, axis=1),
+                               np.sort(s_h, axis=1), rtol=1e-4, atol=1e-4)
