@@ -41,10 +41,14 @@ from neurondb_tpu.ops.distance import (  # noqa: F401
 )
 from neurondb_tpu.ops.topk import topk_smallest, merge_topk  # noqa: F401
 from neurondb_tpu.index import (  # noqa: F401
+    ConsistentIndex,
     FlatIndex,
-    IVFFlatIndex,
     HNSWIndex,
+    IVFFlatIndex,
+    IVFPQIndex,
     PQIndex,
+    QuantizedFlatIndex,
+    RerankReadyIndex,
 )
 from neurondb_tpu.store import VectorStore  # noqa: F401
 
@@ -67,7 +71,12 @@ __all__ = [
     "topk_smallest",
     "merge_topk",
     "FlatIndex",
+    "QuantizedFlatIndex",
     "IVFFlatIndex",
+    "IVFPQIndex",
+    "PQIndex",
     "HNSWIndex",
+    "RerankReadyIndex",
+    "ConsistentIndex",
     "VectorStore",
 ]

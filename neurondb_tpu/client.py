@@ -117,6 +117,10 @@ class Collection:
             elif kind == "pq":
                 self._index = ndb.PQIndex(self._vectors, metric=self.metric,
                                           ids=self._ids, **kw)
+            elif kind == "ivfpq":
+                self._index = ndb.IVFPQIndex(self._vectors,
+                                             metric=self.metric,
+                                             ids=self._ids, **kw)
             else:
                 raise ValueError(f"unknown index kind {kind!r}")
             if self._docs:

@@ -151,9 +151,15 @@ def _task_prep(X, y, task, num_classes):
 
 
 def _grad_hess(pred_raw, Y, task):
-    """Per-output g/h: logistic (one-vs-all sigmoid) or squared loss."""
+    """Per-output g/h. Classification: binary uses the logistic loss;
+    multiclass uses the SOFTMAX cross-entropy with XGBoost's diagonal
+    Hessian approximation (multi:softprob semantics — g = p - y,
+    h = p(1-p) with p the softmax row), not one-vs-all sigmoids."""
     if task == "classify":
-        p = jax.nn.sigmoid(pred_raw)
+        if Y.shape[1] > 1:
+            p = jax.nn.softmax(pred_raw, axis=1)
+        else:
+            p = jax.nn.sigmoid(pred_raw)
         return p - Y, jnp.maximum(p * (1 - p), 1e-6)
     return pred_raw - Y, jnp.ones_like(Y)
 
@@ -214,8 +220,10 @@ def xgboost_predict(model: Dict, X) -> jnp.ndarray:
 
 def xgboost_predict_proba(model: Dict, X) -> jnp.ndarray:
     raw = xgboost_raw(model, X)
+    if raw.shape[1] > 1:
+        return jax.nn.softmax(raw, axis=1)     # multi:softprob
     p = jax.nn.sigmoid(raw)
-    return p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-9)
+    return jnp.concatenate([1.0 - p, p], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -197,6 +197,10 @@ def register_engine_tools(srv: MCPServer) -> None:
         elif kind == "pq":
             idx = ndb.PQIndex(data, metric=metric,
                               n_sub=int(a.get("n_sub", 8)))
+        elif kind == "ivfpq":
+            idx = ndb.IVFPQIndex(data, metric=metric,
+                                 n_sub=int(a.get("n_sub", 16)),
+                                 nlists=int(a.get("nlists", 100)))
         else:
             raise ValueError(f"unknown index kind {kind!r}")
         srv.add_collection(a.get("collection", "default"), idx,

@@ -30,16 +30,58 @@ except ImportError:           # pragma: no cover - not in this image
     ort = None
     HAVE_ORT = False
 
+# Execution-provider priority (neurondb_onnx.c EP selection order:
+# TensorRT > CUDA > CoreML > CPU). The first requested provider that the
+# runtime actually offers wins; CPU is always appended as the fallback.
+EP_PRIORITY = [
+    "TensorrtExecutionProvider",
+    "CUDAExecutionProvider",
+    "CoreMLExecutionProvider",
+    "CPUExecutionProvider",
+]
+
+
+def _runtime():
+    """The active runtime module (tests may inject a stub)."""
+    return ort
+
+
+def set_runtime(module) -> None:
+    """Install an onnxruntime-compatible module (dependency injection —
+    also how the EP/session logic is tested without ort installed)."""
+    global ort, HAVE_ORT
+    ort = module
+    HAVE_ORT = module is not None
+
+
+def select_providers(requested: Optional[List[str]] = None,
+                     available: Optional[List[str]] = None) -> List[str]:
+    """Pick providers in priority order from what the runtime offers
+    (EP fallback semantics of neurondb_onnx.c:127-136)."""
+    if available is None:
+        if not HAVE_ORT:
+            return ["CPUExecutionProvider"]
+        available = list(ort.get_available_providers())
+    want = list(requested) if requested else EP_PRIORITY
+    chosen = [p for p in want if p in available]
+    if "CPUExecutionProvider" not in chosen and             "CPUExecutionProvider" in available:
+        chosen.append("CPUExecutionProvider")
+    return chosen or ["CPUExecutionProvider"]
+
 
 class ONNXSessionCache:
     """LRU cache of inference sessions (neurondb_onnx.c session cache)."""
 
     def __init__(self, max_sessions: int = 4,
                  providers: Optional[List[str]] = None,
-                 intra_op_threads: int = 0):
+                 intra_op_threads: int = 0,
+                 inter_op_threads: int = 0,
+                 optimization_level: str = "all"):
         self.max_sessions = max_sessions
         self.providers = providers
         self.intra_op_threads = intra_op_threads
+        self.inter_op_threads = inter_op_threads
+        self.optimization_level = optimization_level
         self._cache: "collections.OrderedDict[str, Any]" = \
             collections.OrderedDict()
         self._lock = threading.Lock()
@@ -61,9 +103,19 @@ class ONNXSessionCache:
             opts = ort.SessionOptions()
             if self.intra_op_threads:
                 opts.intra_op_num_threads = self.intra_op_threads
+            if self.inter_op_threads:
+                opts.inter_op_num_threads = self.inter_op_threads
+            lvl = getattr(ort, "GraphOptimizationLevel", None)
+            if lvl is not None and hasattr(opts,
+                                           "graph_optimization_level"):
+                opts.graph_optimization_level = {
+                    "none": getattr(lvl, "ORT_DISABLE_ALL", None),
+                    "basic": getattr(lvl, "ORT_ENABLE_BASIC", None),
+                    "all": getattr(lvl, "ORT_ENABLE_ALL", None),
+                }.get(self.optimization_level) or                     getattr(lvl, "ORT_ENABLE_ALL", None)
             sess = ort.InferenceSession(
                 model_path, opts,
-                providers=self.providers or ort.get_available_providers())
+                providers=select_providers(self.providers))
             self._cache[model_path] = sess
             while len(self._cache) > self.max_sessions:
                 self._cache.popitem(last=False)
