@@ -41,6 +41,11 @@ def _load() -> Optional[ctypes.CDLL]:
                               ctypes.POINTER(ctypes.c_float),
                               ctypes.c_int64, ctypes.c_int32]
     lib.vecs_read.restype = ctypes.c_int64
+    lib.vecs_read_range.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_float),
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int32]
+    lib.vecs_read_range.restype = ctypes.c_int64
     lib.ivecs_read_ids.argtypes = [ctypes.c_char_p,
                                    ctypes.POINTER(ctypes.c_int32),
                                    ctypes.c_int64, ctypes.c_int32]
@@ -82,6 +87,42 @@ def read_vecs(path: str, kind: str = "fvecs",
     if got < 0:
         raise IOError(f"vecs_read({path}) failed: {got}")
     return out[:got]
+
+
+def iter_vecs(path: str, kind: str = "fvecs", *, chunk: int = 262144,
+              max_n: Optional[int] = None):
+    """Yield [<=chunk, d] float32 blocks from a .fvecs/.bvecs file —
+    fixed-size records let the native reader fseek straight to each
+    chunk, so DEEP-100M-class corpora stream into sharded builds
+    (parallel.MultiHostIVFIndex.from_chunks) without ever being
+    materialized whole."""
+    lib = _load()
+    if lib is None:
+        x = _read_vecs_py(path, kind, max_n)
+        for s in range(0, len(x), chunk):
+            yield x[s:s + chunk]
+        return
+    n = ctypes.c_int64()
+    d = ctypes.c_int32()
+    rc = lib.vecs_info(path.encode(), _ELEM[kind], ctypes.byref(n),
+                       ctypes.byref(d))
+    if rc != 0:
+        raise IOError(f"vecs_info({path}) failed: {rc}")
+    total = n.value if max_n is None else min(n.value, max_n)
+    start = 0
+    while start < total:
+        take = min(chunk, total - start)
+        out = np.empty((take, d.value), np.float32)
+        got = lib.vecs_read_range(
+            path.encode(), _KIND[kind],
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            start, take, d.value)
+        if got < 0:
+            raise IOError(f"vecs_read_range({path}) failed: {got}")
+        if got == 0:
+            return
+        yield out[:got]
+        start += got
 
 
 def read_ground_truth(path: str, max_n: Optional[int] = None) -> np.ndarray:

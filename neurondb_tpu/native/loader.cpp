@@ -73,6 +73,44 @@ int64_t vecs_read(const char* path, int elem_kind, float* out,
     return count;
 }
 
+// Ranged variant: records are fixed-size (4 + d*elem bytes), so a
+// chunked/streaming reader seeks straight to ``start`` — the ingest
+// path for corpora that must never be materialized whole
+// (MultiHostIVFIndex.from_chunks, DEEP-100M-class).
+int64_t vecs_read_range(const char* path, int elem_kind, float* out,
+                        int64_t start, int64_t max_n, int32_t d) {
+    int elem_size = elem_kind == 0 ? 4 : (elem_kind == 1 ? 1 : 4);
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    int64_t rec = 4 + (int64_t)d * elem_size;
+    if (std::fseek(f, (long)(start * rec), SEEK_SET) != 0) {
+        std::fclose(f);
+        return -2;
+    }
+    int64_t count = 0;
+    unsigned char* buf = (unsigned char*)std::malloc((size_t)d * elem_size);
+    if (!buf) { std::fclose(f); return -4; }
+    while (count < max_n) {
+        int32_t dim = 0;
+        if (std::fread(&dim, sizeof(int32_t), 1, f) != 1) break;
+        if (dim != d) { std::free(buf); std::fclose(f); return -5; }
+        if (std::fread(buf, elem_size, (size_t)d, f) != (size_t)d) break;
+        float* row = out + count * d;
+        if (elem_kind == 0) {
+            std::memcpy(row, buf, (size_t)d * 4);
+        } else if (elem_kind == 1) {
+            for (int32_t i = 0; i < d; ++i) row[i] = (float)buf[i];
+        } else {
+            const int32_t* ib = (const int32_t*)buf;
+            for (int32_t i = 0; i < d; ++i) row[i] = (float)ib[i];
+        }
+        ++count;
+    }
+    std::free(buf);
+    std::fclose(f);
+    return count;
+}
+
 // Reads ivecs ground-truth ids as int32 (no float conversion).
 int64_t ivecs_read_ids(const char* path, int32_t* out, int64_t max_n,
                        int32_t d) {

@@ -156,3 +156,22 @@ def test_native_vecs_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(got, x)
     got2 = native.read_vecs(p, "fvecs", max_n=5)
     assert got2.shape == (5, 8)
+
+
+def test_native_iter_vecs_chunks(tmp_path, rng):
+    """Streaming fvecs iterator: fseek-ranged native reads (fallback:
+    python) must tile the file exactly."""
+    import struct
+    from neurondb_tpu import native
+    x = rng.standard_normal((257, 8)).astype(np.float32)
+    p = tmp_path / "c.fvecs"
+    with open(p, "wb") as f:
+        for row in x:
+            f.write(struct.pack("<i", 8))
+            f.write(row.tobytes())
+    chunks = list(native.iter_vecs(str(p), chunk=100))
+    assert [len(c) for c in chunks] == [100, 100, 57]
+    np.testing.assert_array_equal(np.concatenate(chunks), x)
+    partial = np.concatenate(list(native.iter_vecs(str(p), chunk=64,
+                                                   max_n=150)))
+    np.testing.assert_array_equal(partial, x[:150])
