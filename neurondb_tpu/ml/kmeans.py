@@ -109,18 +109,29 @@ def kmeans_fit(x: jax.Array, k: int, *, max_iter: int = 50,
     return KMeansState(s.centroids, jnp.sum(d2), s.n_iter, s.shift)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _predict_chunked(centroids: jax.Array, x: jax.Array,
+                     *, chunk: int) -> jax.Array:
+    pad = (-x.shape[0]) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, chunk, x.shape[1])
+    return jax.lax.map(lambda xc: _assign(xc, centroids)[0],
+                       xp).reshape(-1)
+
+
 def kmeans_predict(centroids: jax.Array, x: jax.Array,
                    chunk: int = 131072) -> jax.Array:
     """Nearest-centroid labels, chunked over rows so the [N, k] distance
-    block never exceeds ~chunk*k floats (1M x 1024 would be 4.3GB)."""
+    block never exceeds ~chunk*k floats (1M x 1024 would be 4.3GB).
+
+    The pad/reshape/map MUST run under one jit: eager per-primitive
+    dispatch of big-array ops is pathological on this backend (measured
+    round 2: the same 1M assignment is 1.1 s jitted vs 765 s eager —
+    IVF build_seconds regressed 28 s -> 900 s before this was found)."""
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     if n <= chunk:
-        return _assign(x, centroids)[0]
-    pad = (-n) % chunk
-    xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, chunk, x.shape[1])
-    labels = jax.lax.map(lambda xc: _assign(xc, centroids)[0], xp)
-    return labels.reshape(-1)[:n]
+        return jax.jit(_assign)(x, centroids)[0]
+    return _predict_chunked(centroids, x, chunk=chunk)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "batch", "iters"))
