@@ -77,11 +77,24 @@ def chunked_knn(
 
     Replaces the reference's flat GPU scan SQL functions
     (vector_*_distance_gpu + host sort, src/gpu/common/gpu_sql.c:90-498).
-    """
-    metric = D.canonical_metric(metric)
+
+    Runs as ONE jit: the pad/reshape/scan chain must never execute
+    eagerly — per-primitive dispatch of big-array ops on this backend is
+    ~1000x slower than the same ops inside a jit (see
+    ml/kmeans.kmeans_predict)."""
+    return _chunked_knn_jit(
+        queries, base, base_sqnorms, ids, valid, k=min(k, base.shape[0]),
+        metric=D.canonical_metric(metric), chunk=chunk,
+        recall_target=recall_target)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "chunk", "recall_target"))
+def _chunked_knn_jit(queries, base, base_sqnorms, ids, valid, *, k: int,
+                     metric: str, chunk: int, recall_target: float):
     B, dims = queries.shape
     N = base.shape[0]
-    k = min(k, N)
     # Pad N to a multiple of chunk so scan trip count is static.
     n_chunks = max(1, -(-N // chunk))
     n_pad = n_chunks * chunk - N
