@@ -219,7 +219,16 @@ class IVFPQIndex(BaseIndex):
         self._counts = jnp.asarray(counts)
         self.max_list = int(counts.max()) if n else 1
         self._alive = np.ones(n, bool)
-        self._orig = jnp.asarray(x) if keep_originals else None
+        # bf16 rerank originals on TPU: halves the random-row gather
+        # traffic that dominates the rerank pass (exactness is restored
+        # by f32 accumulation; candidate ordering at rerank depth is
+        # insensitive to bf16 rounding of well-separated distances)
+        if keep_originals:
+            dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                  else jnp.float32)
+            self._orig = jnp.asarray(x).astype(dt)
+        else:
+            self._orig = None
 
     @property
     def code_bytes(self) -> int:
@@ -274,9 +283,10 @@ class IVFPQIndex(BaseIndex):
                 segment=SEGMENT)
         if rerank:
             rs = jnp.maximum(rows, 0)
-            cand = self._orig[rs]
+            cand = self._orig[rs].astype(jnp.float32)
             if self.metric == "ip":
-                dd = -jnp.einsum("bd,bcd->bc", q, cand)
+                dd = -jnp.einsum("bd,bcd->bc", q, cand,
+                                 preferred_element_type=jnp.float32)
             else:
                 diff = q[:, None, :] - cand
                 dd = jnp.sum(diff * diff, axis=-1)
@@ -333,7 +343,9 @@ class IVFPQIndex(BaseIndex):
         self._counts = jnp.asarray(arrays["counts"].astype(np.int32))
         self._ids = np.asarray(arrays["ids"], np.int64)
         self._alive = np.asarray(arrays["alive"], bool)
-        self._orig = (jnp.asarray(arrays["orig"])
+        self._orig = (jnp.asarray(arrays["orig"]).astype(
+            jnp.bfloat16 if jax.default_backend() == "tpu"
+            else jnp.float32)
                       if "orig" in arrays else None)
 
     def stats(self) -> Dict[str, Any]:
