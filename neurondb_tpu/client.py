@@ -78,10 +78,15 @@ class Collection:
             if self._index is not None and not self._dirty and \
                     hasattr(self._index, "delete"):
                 self._index.delete(np.asarray(drop, np.int64))
-                if self._docs:          # BM25 postings rebuild stays cheap
-                    self._rebuild_bm25()
+                # always rebuild: deleting the LAST docs must clear the
+                # stale postings too (_rebuild_bm25 handles empty)
+                self._rebuild_bm25()
             else:
                 self._dirty = True
+            if not self._docs:
+                # nothing can lazily rebuild an emptied collection
+                # (_ensure_index raises) — drop stale postings NOW
+                self._bm25 = None
 
     def _rebuild_bm25(self) -> None:
         from neurondb_tpu.search.bm25 import BM25Index
@@ -123,8 +128,9 @@ class Collection:
                                              ids=self._ids, **kw)
             else:
                 raise ValueError(f"unknown index kind {kind!r}")
-            if self._docs:
-                self._rebuild_bm25()
+            # unconditional: an emptied doc set must CLEAR stale
+            # postings (_rebuild_bm25 sets None when no docs remain)
+            self._rebuild_bm25()
             self._dirty = False
 
     # ---- search surface ----

@@ -1083,7 +1083,10 @@ class HNSWIndex(BaseIndex):
         counts = for_r.sum(1)
         flat = stripped[for_r]
         idxs = np.repeat(np.arange(n), counts)
-        pos_in_row = np.concatenate([np.arange(c) for c in counts]) \
+        # rank within row, vectorized (a [np.arange(c) for c in counts]
+        # comprehension is O(n) interpreter work on the 1M build path)
+        pos_in_row = (np.arange(counts.sum())
+                      - np.repeat(np.cumsum(counts) - counts, counts)) \
             if n else np.zeros(0, np.int64)
         keep = pos_in_row < K
         out[idxs[keep], pos_in_row[keep]] = flat[keep]
@@ -1432,9 +1435,13 @@ class HNSWIndex(BaseIndex):
             reps_new = np.where(reps_old < n, newpos[np.minimum(reps_old,
                                                                 n - 1)],
                                 -1)
-            for ci in np.where(reps_new < 0)[0]:
-                d = ((x_l - cents[ci]) ** 2).sum(1)
-                reps_new[ci] = int(np.argmin(d))
+            if len(x_l):
+                for ci in np.where(reps_new < 0)[0]:
+                    d = ((x_l - cents[ci]) ** 2).sum(1)
+                    reps_new[ci] = int(np.argmin(d))
+            else:
+                # fully-deleted index: no alive rows to represent
+                reps_new[:] = -1
             router_state = (cents, reps_new.astype(np.int64))
         entry_new = int(newpos[self.entry]) if (
             self.entry >= 0 and self._alive_np[self.entry]) else -1

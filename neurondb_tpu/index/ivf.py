@@ -109,23 +109,6 @@ def _ivf_search_device(
 
 @functools.partial(jax.jit,
                    static_argnames=("nprobe", "metric", "nprobe_pad"))
-def _ivf_coarse_ids(q, centroids, *, nprobe: int, metric: str,
-                    nprobe_pad: int):
-    """Coarse stage for the grouped kernel: centroid scores ->
-    top-nprobe LIST IDS, padded with the sentinel id ``nlists`` (the
-    grouped pipeline maps sentinel tuples to dead tiles)."""
-    cd = D.pairwise_distance(
-        q, centroids, "sqeuclidean" if metric != "ip" else "ip")
-    _, probes = TK.topk_smallest(cd, nprobe)               # [B, nprobe]
-    probes = probes.astype(jnp.int32)
-    if nprobe_pad > nprobe:
-        probes = jnp.pad(probes, ((0, 0), (0, nprobe_pad - nprobe)),
-                         constant_values=centroids.shape[0])
-    return probes
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("nprobe", "metric", "nprobe_pad"))
 def _ivf_coarse(q, centroids, offsets, counts, *, nprobe: int, metric: str,
                 nprobe_pad: int):
     """Coarse stage: centroid scores -> top-nprobe probe offsets/counts,

@@ -33,14 +33,25 @@ def _pick_tiles(s_round: int, dh: int):
     97.2 (2.83 ms — ~25% of v5e bf16 peak). The f32 [qt, kt] score
     intermediate is the VMEM limiter: qt*kt*4 <= 8 MB (2048x2048 fails
     to compile). Tiles clamp to the rounded sequence length so short
-    sequences are not padded up to the large-tile sizes."""
+    sequences are not padded up to the large-tile sizes.
+
+    Both tiles are powers-of-two multiples of 128, so one always
+    divides the other and padding S to max(qt, kt) makes it divisible
+    by BOTH. A raw min() clamp (e.g. kt = s_round = 640 with qt = 512)
+    would leave q_tiles = Sp // qt flooring away the last partial q
+    tile — the kernel would silently never write those output rows."""
     if dh >= 128:
         qt_target, kt_target = 1024, 1024
     else:
         qt_target, kt_target = 512, 2048
-    qt = min(qt_target, s_round)
-    kt = min(kt_target, s_round)
-    return qt, kt
+
+    def pow2_clamp(target: int) -> int:
+        t = 128
+        while t * 2 <= min(target, s_round):
+            t *= 2
+        return t
+
+    return pow2_clamp(qt_target), pow2_clamp(kt_target)
 
 
 def attention_reference(q, k, v, mask=None, scale: Optional[float] = None):

@@ -198,14 +198,19 @@ def kmeans_fit_2d(mesh: Mesh, x_sharded, nlists: int, *, iters: int = 25,
 
 
 class MultiHostIVFIndex:
-    """IVF over a (dcn, ici) mesh with streaming chunked ingest.
+    """IVF over a (dcn, ici) mesh with chunked ingest.
 
     Layout: every chip holds an interleaved slice of each posting list
     (round-robin by within-list rank over all H*C chips), so per-probe
-    work is balanced; search merges ICI-then-DCN like knn_2d. Build
-    never materializes the corpus: centroids train on a bounded sample,
-    then chunks stream through a centroid GEMM and append to per-chip
-    buffers.
+    work is balanced; search merges ICI-then-DCN like knn_2d.
+
+    Two build modes (``from_chunks``):
+    - plain iterable: chunks are BUFFERED host-side for the layout pass
+      (host peak ~= one corpus copy) — fine up to tens of millions;
+    - zero-arg callable returning a fresh iterator per call (e.g.
+      ``lambda: native.iter_vecs(path)``): TRUE streaming — the source
+      is re-read once per shard and host peak is one shard's rows plus
+      two [N] int32 arrays, which is what DEEP-100M-class corpora need.
     """
 
     def __init__(self, *, nlists: int, dim: int,
@@ -224,10 +229,13 @@ class MultiHostIVFIndex:
                     mesh: Optional[Mesh] = None, metric: str = "l2",
                     sample_cap: int = 200_000, seed: int = 0
                     ) -> "MultiHostIVFIndex":
-        """Build from an iterator of [n_i, D] chunks (native .fvecs/.bvecs
-        loader output slots in here). Two passes over small state: chunk
-        reservoir-samples into the k-means training set, then every chunk
-        is assigned and routed; only per-chip buffers persist."""
+        """Build from [n_i, D] chunks. Pass a zero-arg callable for the
+        bounded-memory streaming path (see class docstring); a plain
+        iterable is buffered host-side."""
+        if callable(chunks):
+            return cls._from_chunk_factory(
+                chunks, nlists=nlists, mesh=mesh, metric=metric,
+                sample_cap=sample_cap, seed=seed)
         chunks = iter(chunks)
         first = np.asarray(next(chunks), np.float32)
         self = cls(nlists=nlists, dim=first.shape[1], mesh=mesh,
@@ -257,6 +265,112 @@ class MultiHostIVFIndex:
             self.add_chunk(ch)
         self.finalize()
         return self
+
+    @classmethod
+    def _from_chunk_factory(cls, factory, *, nlists: int, mesh, metric,
+                            sample_cap: int, seed: int
+                            ) -> "MultiHostIVFIndex":
+        """Streaming build: pass 1 samples + trains the coarse
+        quantizer; pass 2 assigns every chunk and records [N] labels +
+        within-list ranks; pass 3 runs once per shard, filling only that
+        shard's buffer and placing it on its device
+        (jax.make_array_from_single_device_arrays) before moving on."""
+        rng = np.random.default_rng(seed)
+        # ---- pass 1: reservoir sample + train ----
+        sample, dim = [], None
+        for ch in factory():
+            ch = np.asarray(ch, np.float32)
+            dim = ch.shape[1]
+            take = min(len(ch), max(1, sample_cap // 8))
+            sample.append(ch[rng.choice(len(ch), take, replace=False)])
+        self = cls(nlists=nlists, dim=dim, mesh=mesh, metric=metric)
+        smp = np.concatenate(sample)[:sample_cap]
+        if self.metric == "cosine":
+            smp = smp / np.maximum(
+                np.linalg.norm(smp, axis=1, keepdims=True), 1e-30)
+        nsh = self.mesh.shape["dcn"] * self.mesh.shape["ici"]
+        smp_sh = jax.device_put(
+            jnp.asarray(_pad_rows(smp, nsh)),
+            NamedSharding(self.mesh, P(AXES)))
+        self.centroids = np.asarray(
+            kmeans_fit_2d(self.mesh, smp_sh, min(nlists, len(smp)),
+                          seed=seed))
+        self.nlists = len(self.centroids)
+        # ---- pass 2: labels + within-list ranks (O(N) int32 host) ----
+        labels_parts, ranks_parts = [], []
+        running = np.zeros(self.nlists, np.int64)
+        n = 0
+        for ch in factory():
+            lab = self._assign_host(np.asarray(ch, np.float32))
+            order = np.argsort(lab, kind="stable")
+            ls = lab[order]
+            starts = np.searchsorted(ls, np.arange(self.nlists))
+            rank_sorted = np.arange(len(lab)) - starts[ls]
+            rank = np.empty(len(lab), np.int64)
+            rank[order] = rank_sorted + running[ls]
+            running += np.bincount(lab, minlength=self.nlists)
+            labels_parts.append(lab.astype(np.int32))
+            ranks_parts.append(rank)
+            n += len(lab)
+        labels = np.concatenate(labels_parts)
+        ranks = np.concatenate(ranks_parts)
+        self.n = n
+        self._ids_np = np.arange(n, dtype=np.int64)
+        counts = running
+        # per (shard, list) counts/offsets: shard s of list l holds the
+        # ranks congruent to s mod nsh
+        cnt = np.stack([(counts - s + nsh - 1) // nsh
+                        for s in range(nsh)]).astype(np.int32)
+        cnt = np.maximum(cnt, 0)
+        off = np.zeros((nsh, self.nlists), np.int32)
+        off[:, 1:] = np.cumsum(cnt[:, :-1], axis=1)
+        cap = max(int(cnt.sum(axis=1).max()) if n else 1, 1)
+        shard_of = (ranks % nsh).astype(np.int32)
+        slot = off[shard_of, labels] + (ranks // nsh).astype(np.int32)
+        # ---- pass 3: one shard at a time ----
+        H, C = self.mesh.shape["dcn"], self.mesh.shape["ici"]
+        devs = list(self.mesh.devices.flat)
+        sh_vec = NamedSharding(self.mesh, P(AXES[0], AXES[1]))
+        vec_arrs, id_arrs = [], []
+        for s in range(nsh):
+            xs = np.zeros((cap, self.dim), np.float32)
+            ii = np.full(cap, -1, np.int32)
+            row0 = 0
+            for ch in factory():
+                ch = np.asarray(ch, np.float32)
+                if self.metric == "cosine":
+                    ch = ch / np.maximum(
+                        np.linalg.norm(ch, axis=1, keepdims=True), 1e-30)
+                e = row0 + len(ch)
+                mine = shard_of[row0:e] == s
+                xs[slot[row0:e][mine]] = ch[mine]
+                ii[slot[row0:e][mine]] = np.arange(row0, e)[mine]
+                row0 = e
+            vec_arrs.append(jax.device_put(
+                xs.reshape(1, 1, cap, self.dim), devs[s]))
+            id_arrs.append(jax.device_put(ii.reshape(1, 1, cap), devs[s]))
+        self._vecs = jax.make_array_from_single_device_arrays(
+            (H, C, cap, self.dim), sh_vec, vec_arrs)
+        self._ids = jax.make_array_from_single_device_arrays(
+            (H, C, cap), sh_vec, id_arrs)
+        self._off = jax.device_put(
+            jnp.asarray(off.reshape(H, C, self.nlists)), sh_vec)
+        self._cnt = jax.device_put(
+            jnp.asarray(cnt.reshape(H, C, self.nlists)), sh_vec)
+        self._cj = jax.device_put(jnp.asarray(self.centroids),
+                                  NamedSharding(self.mesh, P()))
+        self.max_list = max(int(counts.max()) if n else 1, 1)
+        return self
+
+    def _assign_host(self, x: np.ndarray) -> np.ndarray:
+        if self.metric == "cosine":
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                               1e-30)
+        cj = jnp.asarray(self.centroids)
+        xj = jnp.asarray(x)
+        d = (jnp.sum(xj * xj, 1)[:, None] + jnp.sum(cj * cj, 1)[None, :]
+             - 2.0 * xj @ cj.T)
+        return np.asarray(jnp.argmin(d, axis=1))
 
     def add_chunk(self, x: np.ndarray) -> None:
         x = np.asarray(x, np.float32)

@@ -116,6 +116,7 @@ class BM25Index:
         # idf*(k1+1) < 0.025 — noise next to typical scores of 1-10.
         # Applied identically in the host oracle and the device path.
         self.prune_idf_below = prune_idf_below
+        self.term_cap = 64        # device-path scoring terms per query
         self.n_docs = len(docs)
         self.ids = np.asarray(ids if ids is not None else range(len(docs)),
                               np.int64)
@@ -258,14 +259,15 @@ class BM25Index:
             q_terms = _TOKEN.findall(query.lower())
         else:
             q_terms = tokenize(query)
-        offs, cnts = [], []
+        offs, cnts, idfs = [], [], []
         for t in q_terms:
             ti = self._term_index(t)
             if ti is None or self.idf[ti] < self.prune_idf_below:
                 continue
             offs.append(int(self._offsets[ti]))
             cnts.append(int(self._offsets[ti + 1] - self._offsets[ti]))
-        return offs, cnts
+            idfs.append(float(self.idf[ti]))
+        return offs, cnts, idfs
 
     def scores_batch(self, queries: Sequence[str],
                      device: Optional[bool] = None,
@@ -288,15 +290,24 @@ class BM25Index:
         dev = self._ensure_device()
         B = len(queries)
         slices = [self._query_term_slices(q) for q in queries]
-        tmax_real = max((len(o) for o, _ in slices), default=1)
+        tmax_real = max((len(o) for o, _, _ in slices), default=1)
         T = 4
         while T < max(tmax_real, 1):
             T *= 2
-        T = min(T, 64)
+        T = min(T, self.term_cap)
         off = np.zeros((B, T), np.int32)
         cnt = np.zeros((B, T), np.int32)
-        for b, (o, c) in enumerate(slices):
-            o, c = o[:T], c[:T]
+        for b, (o, c, w) in enumerate(slices):
+            if len(o) > T:
+                # keep the T most informative terms (highest idf): the
+                # dropped tail contributes least to the ranking; the
+                # host oracle still scores everything — document-length
+                # queries should use device=False if exactness matters
+                order = np.argsort(w)[::-1][:T]
+                o = [o[i] for i in order]
+                c = [c[i] for i in order]
+            else:
+                o, c = o[:T], c[:T]
             off[b, : len(o)] = o
             cnt[b, : len(c)] = c
         # pad B to a power of two (compile-shape stability)

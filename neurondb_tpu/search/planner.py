@@ -154,9 +154,15 @@ def planned_search(collection, planner: QueryPlanner, *,
         res = collection.search(vector, k=k)
     elif plan.mode == "fts":
         collection._ensure_index()
-        s, ids = collection._bm25.search(text, k=k)
-        res = [{"id": int(i), "score": float(v)}
-               for v, i in zip(s, ids)]
+        if getattr(collection, "_bm25", None) is None:
+            # vectors-only collection: no postings to rank — fall back
+            # to ANN when a vector exists, else empty result
+            res = (collection.search(vector, k=k)
+                   if vector is not None else [])
+        else:
+            s, ids = collection._bm25.search(text, k=k)
+            res = [{"id": int(i), "score": float(v)}
+                   for v, i in zip(s, ids)]
     else:
         res = collection.hybrid_search(vector, text, k=k,
                                        weight=plan.weight)

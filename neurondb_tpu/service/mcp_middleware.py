@@ -181,8 +181,7 @@ class ValidationMiddleware:
                 if want and not isinstance(val, want):
                     raise ValueError(
                         f"field {key!r} must be {props[key]['type']}")
-                if want is (int, float) or props[key].get("type") == \
-                        "integer":
+                if props[key].get("type") in ("number", "integer"):
                     if isinstance(val, bool):
                         raise ValueError(
                             f"field {key!r} must be numeric, got bool")

@@ -33,8 +33,13 @@ def enable_compilation_cache() -> None:
 
         plats = (jax.config.jax_platforms
                  or os.environ.get("JAX_PLATFORMS", "") or "")
+        if not plats:
+            # auto-detect: resolve the backend (initializes it — fine,
+            # the process is about to anyway) so a real TPU host without
+            # an explicit platform pin still gets the load-bearing cache
+            plats = jax.default_backend()
         if not plats.startswith(("tpu", "axon")):
-            return                      # CPU/auto: see module docstring
+            return                      # CPU: see module docstring
         cache_dir = os.environ.get(
             "NEURONDB_TPU_COMPCACHE_DIR",
             os.path.expanduser("~/.cache/neurondb_tpu_xla"))

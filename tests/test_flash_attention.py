@@ -109,3 +109,20 @@ def test_flash_large_tile_path(rng):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
         interpret=True, bf16=False))
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_flash_seq_between_tile_sizes(rng):
+    """Regression: S=640 with Dh=64 previously picked (qt=512, kt=640);
+    Sp=640 // 512 floored to ONE q tile and rows 512..639 of the output
+    were never written. Tiles must be power-of-two clamped so the
+    padded S divides both."""
+    B, H, S, Dh = 1, 1, 640, 64
+    q = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
+    k = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
+    v = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
+    ref = np.asarray(attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    out = np.asarray(flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        interpret=True, bf16=False))
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)

@@ -78,3 +78,24 @@ def test_ivf_2d_external_int64_ids(mesh, corpus):
     idx.finalize(ids=big)
     _, ids = idx.search(corpus[:4] + 0.001, k=3, nprobe=8)
     assert (ids[:, 0] == big[:4]).all()
+
+
+def test_ivf_2d_factory_streaming_matches_buffered(mesh, corpus):
+    """The chunk-FACTORY path (bounded host memory: per-shard passes +
+    make_array_from_single_device_arrays) must produce the same search
+    results as the buffered path."""
+    chunks = [corpus[i:i + 1250] for i in range(0, 5000, 1250)]
+    buf = MultiHostIVFIndex.from_chunks(list(chunks), nlists=32,
+                                        mesh=mesh, sample_cap=2000)
+    stream = MultiHostIVFIndex.from_chunks(
+        lambda: iter([c.copy() for c in chunks]), nlists=32,
+        mesh=mesh, sample_cap=2000)
+    assert stream.n == 5000
+    q = corpus[:32] + 0.01
+    db, ib = buf.search(q, k=10, nprobe=8)
+    ds, is_ = stream.search(q, k=10, nprobe=8)
+    # same centroids (same seed/sample) -> identical assignments; the
+    # layouts differ only in rank bookkeeping, results must agree
+    assert (ib == is_).mean() > 0.98
+    np.testing.assert_allclose(np.sort(db, axis=1), np.sort(ds, axis=1),
+                               rtol=1e-4, atol=1e-4)

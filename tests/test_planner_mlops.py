@@ -197,3 +197,16 @@ def test_tracing_profile_capture(tmp_path):
     for root, _, files in os.walk(tmp_path):
         found.extend(files)
     assert found, "no profiler artifacts written"
+
+
+def test_planned_search_fts_route_without_docs(rng):
+    """FTS-routed plan on a vectors-only collection must fall back to
+    ANN (or empty), not crash on the missing BM25 index."""
+    from neurondb_tpu.client import Client
+    from neurondb_tpu.search.planner import QueryPlanner, planned_search
+    c = Client()
+    col = c.create_collection("v_only", dim=8)
+    col.add(rng.standard_normal((50, 8)).astype(np.float32))
+    pl = QueryPlanner()
+    out = planned_search(col, pl, text="some keyword query", k=3)
+    assert isinstance(out["results"], list)   # no AttributeError

@@ -323,3 +323,29 @@ def test_client_sdk(rng):
     res = col.search(x[3], k=1)
     assert res[0]["id"] != 3
     assert "docs" in c.list_collections()
+
+
+def test_client_delete_last_docs_clears_bm25(rng):
+    """Deleting the final documents must clear the BM25 postings —
+    a stale index previously kept returning the deleted ids."""
+    from neurondb_tpu.client import Client
+    c = Client()
+    col = c.create_collection("docs2", dim=4)
+    v = rng.standard_normal((3, 4)).astype(np.float32)
+    col.add(v, documents=["alpha one", "beta two", "gamma three"])
+    col.search(v[0], k=1)                    # builds index + bm25
+    col.delete(list(col._ids))
+    assert col._bm25 is None
+
+
+def test_mcp_validation_rejects_bool_for_number():
+    from neurondb_tpu.service.mcp_middleware import (ValidationMiddleware,
+                                                     build_chain)
+    vm = ValidationMiddleware({"t": {
+        "type": "object",
+        "properties": {"x": {"type": "number"}}, "required": ["x"]}})
+    chain = build_chain([vm], lambda n, a: "ok")
+    assert chain("t", {"x": 1.5}) == "ok"
+    import pytest as _p
+    with _p.raises(ValueError, match="numeric"):
+        chain("t", {"x": True})
