@@ -42,6 +42,7 @@ def _ivfpq_search_device(
     q: jax.Array,           # [B, D] f32 (pre-normalized for cosine)
     centroids: jax.Array,   # [nlist, D]
     codebooks: jax.Array,   # [n_sub, ksub, dsub]
+    R: jax.Array,           # [D, D] OPQ rotation (identity when unused)
     codes: jax.Array,       # [Npad, n_sub] uint8, cluster-contiguous
     row_ids: jax.Array,     # [Npad] int32 original row (-1 = pad/dead)
     offsets: jax.Array,     # [nlist]
@@ -65,8 +66,8 @@ def _ivfpq_search_device(
         if metric == "ip":
             qc_dot = jnp.einsum("bd,bd->b", q, c)            # q·c
         else:
-            qc = q - c                                       # residual query
-            qc_sq = jnp.sum(qc * qc, axis=1)
+            qc = (q - c) @ R                                 # residual query
+            qc_sq = jnp.sum(qc * qc, axis=1)     # R orthogonal: norm kept
 
         def seg_step(carry, s):
             bvals, bids = carry
@@ -114,7 +115,7 @@ def _ivfpq_search_device(
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "nprobe_pad"))
-def _ivfpq_search_grouped(q, centroids, codebooks, codes_t, row_ids,
+def _ivfpq_search_grouped(q, centroids, codebooks, R, codes_t, row_ids,
                           offsets, counts, nprobe, *, k: int, metric: str,
                           nprobe_pad: int):
     """TPU fast path, ONE jit (dispatch latency dominates chained jits on
@@ -132,7 +133,7 @@ def _ivfpq_search_grouped(q, centroids, codebooks, codes_t, row_ids,
     probes = jnp.where(col < nprobe, probes, nlists)
     vals, rows = PQS.ivfpq_grouped_search(
         q, probes, centroids, codebooks, codes_t, offsets, counts,
-        k=k, metric=metric)
+        k=k, metric=metric, R=R)
     ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
     vals = jnp.where(ids >= 0, vals, TK.NEG_FILL)
     return vals, ids
@@ -146,7 +147,7 @@ class IVFPQIndex(BaseIndex):
     def __init__(self, vectors, *, nlists: Optional[int] = None,
                  n_sub: int = 16, ksub: int = 256, metric: str = "l2",
                  ids=None, seed: int = 0, sample_cap: int = 131072,
-                 keep_originals: bool = False):
+                 keep_originals: bool = False, opq: bool = False):
         cfg = get_config()
         x = np.asarray(vectors, np.float32)
         n, d = x.shape
@@ -178,13 +179,30 @@ class IVFPQIndex(BaseIndex):
 
         # PQ codebooks on RESIDUALS (x - centroid): residual energy is
         # what remains after the coarse quantizer, so the same code
-        # budget buys far less distortion than encoding raw vectors
+        # budget buys far less distortion than encoding raw vectors.
+        # opq=True additionally learns a rotation R on the residuals
+        # (OPQ-NP) — subspace distortion balancing; queries rotate
+        # (q - c) once per probe before the ADC tables.
+        if opq and self.metric == "ip":
+            raise ValueError("opq is defined for l2/cosine (residual "
+                             "rotation does not compose with raw ip)")
+        self.opq = opq
         resid = x - np.asarray(self.centroids)[labels]
         rs = resid if n <= sample_cap else \
             resid[rng.choice(n, sample_cap, replace=False)]
-        self.codebooks = train_pq_codebook(jnp.asarray(rs), n_sub=n_sub,
-                                           ksub=self.ksub)
-        codes = np.asarray(pq_encode(self.codebooks, jnp.asarray(resid)))
+        if opq:
+            from neurondb_tpu.index.pq import train_opq_rotation
+            R, cb = train_opq_rotation(jnp.asarray(rs), n_sub=n_sub,
+                                       ksub=self.ksub)
+            self.R = R
+            self.codebooks = cb
+            codes = np.asarray(pq_encode(cb, jnp.asarray(resid) @ R))
+        else:
+            self.R = None
+            self.codebooks = train_pq_codebook(
+                jnp.asarray(rs), n_sub=n_sub, ksub=self.ksub)
+            codes = np.asarray(pq_encode(self.codebooks,
+                                         jnp.asarray(resid)))
 
         # Aligned CSR layout: every list offset is a LIST_ALIGN multiple
         # (uint8 lane alignment for the grouped kernel's code-column
@@ -234,6 +252,11 @@ class IVFPQIndex(BaseIndex):
     def code_bytes(self) -> int:
         return int(self.n * self.n_sub)
 
+    def _R_or_eye(self):
+        if self.R is not None:
+            return jnp.asarray(self.R, jnp.float32)
+        return jnp.eye(self.dim, dtype=jnp.float32)
+
     def delete(self, ids) -> int:
         """Tombstone delete: dead rows' row_ids become -1 on device; the
         scan masks them (ivf_am bulkdelete semantics at code granularity)."""
@@ -268,19 +291,19 @@ class IVFPQIndex(BaseIndex):
                 npad *= 4                      # pow-4 compile buckets
             npad = min(npad, self.nlists)
             vals, rows = _ivfpq_search_grouped(
-                q, self.centroids, self.codebooks, self._codes_t,
-                self._row_ids, self._offsets, self._counts,
-                jnp.int32(nprobe), k=coarse_k, metric=metric,
-                nprobe_pad=max(npad, nprobe))
+                q, self.centroids, self.codebooks, self._R_or_eye(),
+                self._codes_t, self._row_ids, self._offsets,
+                self._counts, jnp.int32(nprobe), k=coarse_k,
+                metric=metric, nprobe_pad=max(npad, nprobe))
         else:
             if self._codes is None:            # derived once from codes_t
                 self._codes = jnp.asarray(self._codes_t.T)
             max_segs = max(1, -(-self.max_list // SEGMENT))
             vals, rows = _ivfpq_search_device(
-                q, self.centroids, self.codebooks, self._codes,
-                self._row_ids, self._offsets, self._counts, k=coarse_k,
-                nprobe=nprobe, metric=metric, max_segs=max_segs,
-                segment=SEGMENT)
+                q, self.centroids, self.codebooks, self._R_or_eye(),
+                self._codes, self._row_ids, self._offsets, self._counts,
+                k=coarse_k, nprobe=nprobe, metric=metric,
+                max_segs=max_segs, segment=SEGMENT)
         if rerank:
             rs = jnp.maximum(rows, 0)
             cand = self._orig[rs].astype(jnp.float32)
@@ -312,6 +335,8 @@ class IVFPQIndex(BaseIndex):
                   "codes": codes, "row_ids": self._row_ids,
                   "offsets": self._offsets, "counts": self._counts,
                   "ids": self._ids, "alive": self._alive}
+        if self.R is not None:
+            arrays["R"] = self.R
         if self._orig is not None:
             arrays["orig"] = self._orig
         return arrays, {"n": self.n, "n_sub": self.n_sub,
@@ -330,6 +355,8 @@ class IVFPQIndex(BaseIndex):
         self._spherical = self.metric == "cosine"
         self.centroids = jnp.asarray(arrays["centroids"])
         self.codebooks = jnp.asarray(arrays["codebooks"])
+        self.R = jnp.asarray(arrays["R"]) if "R" in arrays else None
+        self.opq = self.R is not None
         cp = arrays["codes"].astype(np.uint8)
         self._use_kernel = jax.default_backend() == "tpu"
         if self._use_kernel:

@@ -202,8 +202,8 @@ def grouped_pq_scan(lutpad, codes_t, tile_off, tile_cnt, *,
 
 @functools.partial(jax.jit, static_argnames=("npad", "qt", "t_max",
                                              "metric"))
-def build_luts(q, probes, centroids, codebooks, pos, *, npad: int,
-               qt: int, t_max: int, metric: str):
+def build_luts(q, probes, centroids, codebooks, pos, R=None, *,
+               npad: int, qt: int, t_max: int, metric: str):
     """Per-TUPLE ADC tables scattered into padded tile slots.
 
     L[slot, j*KS+k] = ||cb[j,k]||^2 - 2 (q - c)_j · cb[j,k]   (sq-L2)
@@ -226,6 +226,8 @@ def build_luts(q, probes, centroids, codebooks, pos, *, npad: int,
         scale = -1.0
     else:
         qc = qg - c
+        if R is not None:
+            qc = qc @ R          # OPQ rotation (orthogonal: norm kept)
         const = jnp.sum(qc * qc, axis=1)
         sq_term = jnp.sum(codebooks * codebooks, -1)   # [ns, KS]
         scale = -2.0
@@ -241,7 +243,7 @@ def build_luts(q, probes, centroids, codebooks, pos, *, npad: int,
 def ivfpq_grouped_search(q, probes, centroids, codebooks, codes_t,
                          offsets, counts, *, k: int,
                          metric: str = "sqeuclidean",
-                         interpret: bool = False):
+                         interpret: bool = False, R=None):
     """Full grouped IVF-PQ pipeline. probes [B, npad] list ids (sentinel
     = nlists in padding slots). Returns (dists [B, k], csr_rows [B, k])."""
     B, npad = probes.shape
@@ -251,7 +253,7 @@ def ivfpq_grouped_search(q, probes, centroids, codebooks, codes_t,
     tile_off, tile_cnt, pos = group_probes(
         probes, offsets, counts, qt=QT, t_max=t_max)
     lutpad = build_luts(
-        q, probes, centroids, codebooks, pos, npad=npad, qt=QT,
+        q, probes, centroids, codebooks, pos, R, npad=npad, qt=QT,
         t_max=t_max, metric=metric)
     out_d, out_i = grouped_pq_scan(lutpad, codes_t, tile_off,
                                    tile_cnt, kp=kp, interpret=interpret)

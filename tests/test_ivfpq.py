@@ -127,3 +127,30 @@ def test_grouped_pq_kernel_matches_oracle(rng):
         np.testing.assert_allclose(np.sort(vals[b][:len(o_)]),
                                    np.sort(d[o_]), rtol=1e-4, atol=1e-4)
         assert set(np.asarray(rid)[got_rows]) == set(np.asarray(rid)[r[o_]])
+
+
+def test_ivfpq_opq_rotation(corpus, queries):
+    """OPQ residual rotation: coarse ADC recall must not degrade (it
+    balances subspace distortion), ip is rejected, and R round-trips
+    through checkpoints."""
+    _, gt = FlatIndex(corpus).search(queries, k=10)
+    base = IVFPQIndex(corpus, nlists=64, n_sub=16, seed=0)
+    rot = IVFPQIndex(corpus, nlists=64, n_sub=16, seed=0, opq=True)
+    _, ib = base.search(queries, k=10, nprobe=16)
+    _, ir = rot.search(queries, k=10, nprobe=16)
+    rb, rr = recall(ib, gt), recall(ir, gt)
+    assert rr > rb - 0.03, (rb, rr)
+
+    with pytest.raises(ValueError, match="opq"):
+        IVFPQIndex(corpus[:1000], nlists=8, n_sub=16, metric="ip",
+                   opq=True)
+
+
+def test_ivfpq_opq_save_load(tmp_path, corpus, queries):
+    idx = IVFPQIndex(corpus[:5000], nlists=32, n_sub=16, seed=0, opq=True)
+    d0, i0 = idx.search(queries, k=5, nprobe=8)
+    idx.save(str(tmp_path / "opq"))
+    back = IVFPQIndex.load(str(tmp_path / "opq"))
+    assert back.R is not None
+    d1, i1 = back.search(queries, k=5, nprobe=8)
+    np.testing.assert_array_equal(i0, i1)
