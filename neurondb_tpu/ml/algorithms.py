@@ -301,11 +301,14 @@ register_algorithm(Trainer(
 from neurondb_tpu.ml import timeseries as TS
 
 
-def _ts_train(X, *, order=4, method="ar", season=12):
+def _ts_train(X, *, order=4, method="ar", season=12, p=1, d=1, q=1):
     y = jnp.asarray(X, jnp.float32).reshape(-1)
     if method == "holt_winters":
         m = TS.holt_winters_fit(y, season=season)
         m["method"] = "holt_winters"
+    elif method == "arima":
+        m = TS.arima_fit(y, p=p, d=d, q=q)
+        m["method"] = "arima"
     else:
         m = TS.ar_fit(y, order=order)
         m["method"] = "ar"
@@ -317,11 +320,18 @@ def _ts_predict(m, X):
     steps = int(jnp.asarray(X).reshape(-1)[0]) if jnp.asarray(X).size else 8
     if m["method"] == "holt_winters":
         return TS.holt_winters_forecast(m, steps=steps)
+    if m["method"] == "arima":
+        return TS.arima_forecast(m, steps=steps)
     return TS.ar_forecast(m, m["tail"], steps=steps)
 
 
 register_algorithm(Trainer(
     "timeseries", _ts_train, _ts_predict, None, task="unsupervised"))
+
+register_algorithm(Trainer(
+    "arima",
+    lambda X, **hp: _ts_train(X, method="arima", **hp),
+    _ts_predict, None, task="unsupervised"))
 
 
 # ---- recommender (X = [user, item, rating] triples) ----
