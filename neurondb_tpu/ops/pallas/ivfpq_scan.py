@@ -46,13 +46,19 @@ from neurondb_tpu.ops.pallas.ivf_scan_grouped import (  # noqa: F401
 )
 
 SEG = 1024        # code columns per DMA segment
-SUB = 256         # columns scored per inner one-hot dot
+SUB = 256         # columns scored per inner one-hot dot (ns <= 16)
 LIST_ALIGN = 128  # uint8 lane alignment for code-column slices
+
+
+def _sub_for(ns: int) -> int:
+    """Columns per inner one-hot dot: the [ns*KS, SUB] f32 one-hot is
+    the VMEM limiter (4 MB at ns=16/SUB=256), so halve SUB at ns=32."""
+    return SUB if ns <= 16 else SUB // 2
 
 
 def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
                     out_d_ref, out_i_ref, vmem_buf, sem, par_ref,
-                    *, kp: int):
+                    *, kp: int, sub: int = SUB):
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -82,9 +88,9 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
     lut = lut_ref[:]                                  # [QT, ns*KS] f32
     KS = lut.shape[1] // ns
     dn = (((1,), (0,)), ((), ()))
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (ns, KS, SUB), 1)
-    col_sub = jax.lax.broadcasted_iota(jnp.int32, (QT, SUB), 1)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (QT, kp + SUB), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (ns, KS, sub), 1)
+    col_sub = jax.lax.broadcasted_iota(jnp.int32, (QT, sub), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (QT, kp + sub), 1)
     iota_kp = jax.lax.broadcasted_iota(jnp.int32, (QT, kp), 1)
 
     def seg_body(s, carry):
@@ -106,16 +112,16 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
         def sub_body(u, carry):
             run_d, run_i = carry
             # ref-level dynamic slice (lax.dynamic_slice on a loaded
-            # value has no Mosaic lowering); SUB-aligned start
-            c_sub = vmem_buf[slot, :, pl.ds(u * SUB, SUB)].astype(
+            # value has no Mosaic lowering); sub-aligned start
+            c_sub = vmem_buf[slot, :, pl.ds(u * sub, sub)].astype(
                 jnp.int32)
-            # one-hot [ns, KS, SUB] -> [ns*KS, SUB]; f32 keeps the LUT
-            # sums exact (the dot is tiny: QT x ns*KS x SUB)
+            # one-hot [ns, KS, sub] -> [ns*KS, sub]; f32 keeps the LUT
+            # sums exact (the dot is tiny: QT x ns*KS x sub)
             oh = (c_sub[:, None, :] == iota_k).astype(jnp.float32)
-            oh = oh.reshape(ns * KS, SUB)
+            oh = oh.reshape(ns * KS, sub)
             d = jax.lax.dot_general(lut, oh, dn,
                                     preferred_element_type=jnp.float32)
-            base = s * SEG + u * SUB
+            base = s * SEG + u * sub
             valid = (base + col_sub) < cnt
             d = jnp.where(valid, d, NEG_FILL)
             ids = jnp.where(valid, off + base + col_sub, -1)
@@ -142,7 +148,7 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
                  jnp.full((QT, kp), -1, jnp.int32)))
             return new_d, new_i
 
-        return jax.lax.fori_loop(0, SEG // SUB, sub_body, carry)
+        return jax.lax.fori_loop(0, SEG // sub, sub_body, carry)
 
     init = (jnp.full((QT, kp), NEG_FILL, jnp.float32),
             jnp.full((QT, kp), -1, jnp.int32))
@@ -188,7 +194,8 @@ def grouped_pq_scan(lutpad, codes_t, tile_off, tile_cnt, *,
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    kern = functools.partial(_pq_scan_kernel, kp=kp)
+    kern = functools.partial(_pq_scan_kernel, kp=kp,
+                             sub=_sub_for(codes_t.shape[0]))
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

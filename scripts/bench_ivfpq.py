@@ -1,8 +1,18 @@
 #!/usr/bin/env python
 """IVF-PQ benchmark: compressed posting lists at 1M scale.
 
-Prints one JSON line per config (coarse ADC and exact-rerank variants)
-with QPS, recall@10 vs brute force, and the compression ratio.
+Finds the recall@10 >= 0.95 operating point by sweeping (n_sub, nprobe,
+rerank) with the fused in-jit exact rerank, then times each point with
+serving-style pipelined dispatch (all sub-batches dispatched, one
+barrier), median of 3 in-process repeats. Prints one JSON line per
+measured config.
+
+Operating points (measured round 3): n_sub=16 (32x compression, 16 MB
+codes) is ADC-quality-limited to ~0.70 recall at rerank=8; n_sub=32
+(16x, 32 MB codes — dsub=4 quarters the per-subspace distortion) is the
+recall>=0.95 configuration. Memory envelope: the scattered LUT buffer is
+[~B*nprobe, n_sub*256] f32, so the batch is 8192 to keep nprobe=16 at
+n_sub=32 under ~5 GB.
 
 Usage: python scripts/bench_ivfpq.py  [env: NDB_BENCH_N, NDB_BENCH_Q]
 """
@@ -18,12 +28,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    import jax
     from bench import make_corpus
     from neurondb_tpu.index import FlatIndex, IVFPQIndex
     from neurondb_tpu.ml.metrics import recall_at_k
 
     n = int(os.environ.get("NDB_BENCH_N", 1_000_000))
     nq = int(os.environ.get("NDB_BENCH_Q", 1024))
+    batch = int(os.environ.get("NDB_BENCH_BATCH", 8192))
     d, k = 128, 10
     x = make_corpus(n, d)
     rng = np.random.default_rng(1)
@@ -34,23 +46,58 @@ def main():
     _, gt = flat.search(q, k=k)
     del flat
 
-    t0 = time.time()
-    idx = IVFPQIndex(x, nlists=min(1024, n), n_sub=16, seed=0,
-                     keep_originals=True)
-    build_s = time.time() - t0
+    qpad = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
 
-    for nprobe, rerank in ((4, 0), (4, 8), (16, 8)):
-        idx.search(q, k=k, nprobe=nprobe, rerank=rerank)   # warm
-        t0 = time.time()
-        _, ids = idx.search(q, k=k, nprobe=nprobe, rerank=rerank)
-        wall = time.time() - t0
-        print(json.dumps({
-            "metric": "ivfpq_qps", "value": round(nq / wall, 1),
-            "unit": "qps", "recall_at_10": round(recall_at_k(ids, gt), 4),
-            "nprobe": nprobe, "rerank": rerank, "n": n,
+    def measure(idx, build_s, nprobe, rerank):
+        # recall on the padded batch (one compile shape throughout)
+        _, ids = idx.search(qpad, k=k, nprobe=nprobe, rerank=rerank)
+        r = recall_at_k(ids[:nq], gt)
+        # pipelined QPS, median of 3 in-process repeats (VERDICT item 8)
+        nbatches = 4
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            outs = [idx.search(qpad, k=k, nprobe=nprobe, rerank=rerank,
+                               out="device") for _ in range(nbatches)]
+            jax.block_until_ready([o[0] for o in outs])
+            samples.append(nbatches * batch / (time.time() - t0))
+        samples.sort()
+        return {
+            "metric": "ivfpq_qps", "value": round(samples[1], 1),
+            "unit": "qps", "recall_at_10": round(r, 4), "nprobe": nprobe,
+            "rerank": rerank, "n": n, "n_sub": idx.n_sub,
             "build_seconds": round(build_s, 1),
             "code_bytes": idx.code_bytes,
-            "compression": idx.stats()["compression"]}))
+            "rerank_store_mb": round(n * d * 2 / 1e6, 1),
+            "compression": idx.stats()["compression"],
+            "qps_samples": [round(s, 1) for s in samples]}
+
+    # headline config: n_sub=32 (16x) + OPQ to the recall>=0.95 point
+    t0 = time.time()
+    idx = IVFPQIndex(x, nlists=min(1024, n), n_sub=32, seed=0,
+                     keep_originals=True, opq=True)
+    build_s = time.time() - t0
+    chosen = None
+    for nprobe, rerank in ((8, 8), (8, 16), (16, 16), (16, 24)):
+        row = measure(idx, build_s, nprobe, rerank)
+        print(json.dumps(row), flush=True)
+        if row["recall_at_10"] >= 0.95:
+            chosen = dict(row)
+            break
+    if chosen is not None:
+        chosen["metric"] = "ivfpq_qps_at_recall95"
+        print(json.dumps(chosen), flush=True)
+    del idx
+
+    # compression-story config: n_sub=16 (32x, 16 MB codes)
+    if os.environ.get("NDB_PQ_SKIP16", "0") != "1":
+        t0 = time.time()
+        idx16 = IVFPQIndex(x, nlists=min(1024, n), n_sub=16, seed=0,
+                           keep_originals=True)
+        build16 = time.time() - t0
+        for nprobe, rerank in ((4, 0), (4, 8)):
+            print(json.dumps(measure(idx16, build16, nprobe, rerank)),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -129,6 +129,38 @@ def test_grouped_pq_kernel_matches_oracle(rng):
         assert set(np.asarray(rid)[got_rows]) == set(np.asarray(rid)[r[o_]])
 
 
+def test_grouped_pq_kernel_nsub32_sub128(rng):
+    """n_sub=32 routes the kernel to SUB=128 inner blocks (the [ns*KS,
+    SUB] one-hot is the VMEM limiter); interpret-mode parity with the
+    XLA decode path at that geometry (the recall>=0.95 1M config)."""
+    import jax.numpy as jnp
+    from neurondb_tpu.index.ivfpq import IVFPQIndex
+    from neurondb_tpu.ops.pallas import ivfpq_scan as PQS
+
+    assert PQS._sub_for(16) == 256 and PQS._sub_for(32) == 128
+    x = rng.standard_normal((2000, 64)).astype(np.float32)
+    idx = IVFPQIndex(x, nlists=8, n_sub=32, seed=0)
+    codes_t = (jnp.asarray(np.ascontiguousarray(np.asarray(idx._codes).T))
+               if idx._codes_t is None else idx._codes_t)
+    q = x[:16] + 0.01
+    cd = ((q[:, None, :] - np.asarray(idx.centroids)[None]) ** 2).sum(-1)
+    probes = np.argsort(cd, axis=1)[:, :4].astype(np.int32)
+    vals, rows = PQS.ivfpq_grouped_search(
+        jnp.asarray(q), jnp.asarray(probes), idx.centroids, idx.codebooks,
+        codes_t, idx._offsets, idx._counts, k=10, interpret=True)
+    # oracle: XLA segment-scan path on the same index
+    ov, orows = idx.search(q, k=10, nprobe=4)
+    got = np.asarray(rows)
+    ids = np.where(got >= 0,
+                   np.asarray(idx._row_ids)[np.maximum(got, 0)], -1)
+    overlap = np.mean([len(set(a) & set(b)) / 10
+                       for a, b in zip(ids, orows)])
+    assert overlap >= 0.95, overlap
+    np.testing.assert_allclose(np.sort(np.asarray(vals), axis=1)[:, :10],
+                               np.sort(ov ** 2, axis=1)[:, :10],
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_ivfpq_opq_rotation(corpus, queries):
     """OPQ residual rotation: coarse ADC recall must not degrade (it
     balances subspace distortion), ip is rejected, and R round-trips
