@@ -47,6 +47,7 @@ import numpy as np
 from neurondb_tpu.config import get_config
 from neurondb_tpu.index.base import BaseIndex, as_batch
 from neurondb_tpu.ops import distance as D
+from neurondb_tpu.ops import sortnet as SN
 from neurondb_tpu.ops import topk as TK
 
 INF = jnp.float32(jnp.finfo(jnp.float32).max)
@@ -112,12 +113,28 @@ def _greedy_descent(q, cur, vecs, sqnorms, nbr, rowmap, *,
     return cur
 
 
+def _use_network() -> bool:
+    """Beam-merge strategy default: the bitonic network on TPU (XLA's
+    sort/top_k HLOs serialize on the scalar core there — ~6 of 8.5 ms
+    per beam step at B=1024, round 2), plain top_k elsewhere (CPU's
+    partial sort beats 36 elementwise stages). NDB_SORTNET=1/0 forces
+    either path; it is threaded through the jits as a STATIC argument
+    (env is read at call sites, never inside a traced function)."""
+    import os
+    env = os.environ.get("NDB_SORTNET", "").lower()
+    if env in ("1", "true"):
+        return True
+    if env in ("0", "false"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric", "ef", "max_steps",
-                                    "identity_map", "expand"))
+                                    "identity_map", "expand", "net"))
 def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
                  metric: str, ef: int, max_steps: int, identity_map: bool,
-                 expand: int = 1):
+                 expand: int = 1, net: bool = True):
     """ef-bounded best-first expansion at one level, whole batch in lockstep.
 
     q [B, D]; entry [B] local rows; nbr [Nc, deg] local adjacency (-1 pad);
@@ -126,6 +143,7 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
     expand > 1 pops the E best unexpanded candidates per step (multi-
     expansion): E-fold fewer lockstep rounds and larger, more efficient
     gathers, at slightly eager exploration — used for construction.
+    ``net`` selects the beam-merge implementation (see _use_network).
     Returns (dists [B, ef], rows [B, ef]) ascending, -1/-inf padded.
     """
     B = q.shape[0]
@@ -164,6 +182,11 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
     beam_i = jnp.full((B, ef), -1, jnp.int32).at[:, :R].set(
         jnp.where(entry_ok, entry, -1))
     expanded = jnp.ones((B, ef), jnp.bool_).at[:, :R].set(~entry_ok)
+    if R > 1 and net:
+        # the loop keeps the beam ascending (the pop rank-select and the
+        # merge sweep both rely on it); sort the multi-entry seed once
+        beam_d, (beam_i, expanded) = SN.sort_with_payloads(
+            beam_d, (beam_i, expanded))
     # visited set as packed bit-words: a [B, Nc] byte map is carried
     # (and on this backend copied) through every while_loop step — 1 GB
     # at B=1024/N=1M, ~31 ms/step of pure bitmap traffic (measured r2).
@@ -183,13 +206,28 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
 
     def body(state):
         beam_d, beam_i, expanded, visited, step = state
-        # pop the E best unexpanded candidates per query
+        # pop the E best unexpanded candidates per query. The beam is
+        # kept ascending (sorted seed + network merge below), so the E
+        # best unexpanded are the FIRST E unexpanded slots — a cumsum
+        # rank-select, no sort/top_k HLO (those serialize on the TPU
+        # scalar core and were ~6 of 8.5 ms/step at B=1024, round 2)
         md = jnp.where(expanded, INF, beam_d)
         if E == 1:
             e = jnp.argmin(md, axis=1)[:, None]                # [B, 1]
+            sel_d = jnp.take_along_axis(md, e, axis=1)         # [B, 1]
+        elif net:
+            une = ~expanded
+            rank = jnp.cumsum(une.astype(jnp.int32), axis=1)   # [B, ef]
+            hit = une[:, :, None] & (
+                rank[:, :, None] == 1 + jnp.arange(E)[None, None, :])
+            e = jnp.argmax(hit, axis=1).astype(jnp.int32)      # [B, E]
+            sel_d = jnp.take_along_axis(md, e, axis=1)         # [B, E]
+            # columns past the number of unexpanded slots alias slot 0;
+            # deactivate them instead of re-expanding it
+            sel_d = jnp.where(hit.any(axis=1), sel_d, INF)
         else:
             _, e = jax.lax.top_k(-md, E)                       # [B, E]
-        sel_d = jnp.take_along_axis(md, e, axis=1)             # [B, E]
+            sel_d = jnp.take_along_axis(md, e, axis=1)         # [B, E]
         active = sel_d < INF
         chosen = jnp.where(active,
                            jnp.take_along_axis(beam_i, e, axis=1), 0)
@@ -202,10 +240,15 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
         nb_safe = jnp.maximum(nb, 0)
         # dedup within the step ALWAYS (not just E>1): the packed-bit
         # scatter-add below is only OR-equivalent if every fresh id is
-        # unique within the step (adjacency rows may carry duplicates)
-        order = jnp.argsort(jnp.where(ok, nb_safe, Nc), axis=1)
-        nb_safe = jnp.take_along_axis(nb_safe, order, axis=1)
-        ok = jnp.take_along_axis(ok, order, axis=1)
+        # unique within the step (adjacency rows may carry duplicates).
+        # id-sort via the bitonic network on TPU, argsort elsewhere
+        if net:
+            _, (nb_safe, ok) = SN.sort_with_payloads(
+                jnp.where(ok, nb_safe, Nc), (nb_safe, ok))
+        else:
+            order = jnp.argsort(jnp.where(ok, nb_safe, Nc), axis=1)
+            nb_safe = jnp.take_along_axis(nb_safe, order, axis=1)
+            ok = jnp.take_along_axis(ok, order, axis=1)
         dup = jnp.concatenate(
             [jnp.zeros((B, 1), bool),
              nb_safe[:, 1:] == nb_safe[:, :-1]], axis=1)
@@ -223,15 +266,23 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
         d = _pair_dist(q, q_sq, g, gs, metric)
         d = jnp.where(fresh, d, INF)
 
-        # merge candidates into beam
-        cat_d = jnp.concatenate([beam_d, d], axis=1)
-        cat_i = jnp.concatenate([beam_i, nb_safe], axis=1)
-        cat_e = jnp.concatenate(
-            [expanded, jnp.where(fresh, False, True)], axis=1)
-        negv, pos = jax.lax.top_k(-cat_d, ef)
-        beam_d = -negv
-        beam_i = jnp.take_along_axis(cat_i, pos, axis=1)
-        expanded = jnp.take_along_axis(cat_e, pos, axis=1)
+        # merge candidates into beam: network-sort the candidate block,
+        # then one bitonic merge sweep against the (sorted) beam —
+        # replaces top_k over [B, ef+E*deg] (the round-2 hot spot)
+        if net:
+            cd, (ci, ce) = SN.sort_with_payloads(
+                d, (nb_safe, jnp.where(fresh, False, True)))
+            beam_d, (beam_i, expanded) = SN.merge_sorted_with_payloads(
+                beam_d, (beam_i, expanded), cd, (ci, ce), out_width=ef)
+        else:
+            cat_d = jnp.concatenate([beam_d, d], axis=1)
+            cat_i = jnp.concatenate([beam_i, nb_safe], axis=1)
+            cat_e = jnp.concatenate(
+                [expanded, jnp.where(fresh, False, True)], axis=1)
+            negv, pos = jax.lax.top_k(-cat_d, ef)
+            beam_d = -negv
+            beam_i = jnp.take_along_axis(cat_i, pos, axis=1)
+            expanded = jnp.take_along_axis(cat_e, pos, axis=1)
         beam_i = jnp.where(beam_d < INF, beam_i, -1)
         return beam_d, beam_i, expanded, visited, step + 1
 
@@ -521,16 +572,28 @@ def _bulk_prune_own(cand, vecs, sqnorms, *, m: int, heuristic: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m", "metric", "heuristic", "slab"))
-def _nn_descent_round(nbr0, vecs, sqnorms, n_arr, *, m: int, metric: str,
-                      heuristic: bool, slab: int = 2048):
+                   static_argnames=("m", "metric", "heuristic", "slab",
+                                    "n_rand"))
+def _nn_descent_round(nbr0, vecs, sqnorms, n_arr, rnd, *, m: int,
+                      metric: str, heuristic: bool, slab: int = 2048,
+                      n_rand: int = 16):
     """One NN-descent refinement round (bulk build): each node's
-    candidates are its current neighbors plus its neighbors' first-m
-    neighbors; a distance top-(4m) trim bounds the heuristic's pairwise
+    candidates are its current neighbors, a per-round alternating-column
+    sample of its neighbors' FULL 2m lists, and a few random long-range
+    probes; a distance top-(4m) trim bounds the heuristic's pairwise
     cost, then the usual diversity prune picks the node's own m list.
-    Lifts graph quality on uniform-random corpora where the IVF
-    bootstrap's candidate lists are locally biased (the classic
-    NN-descent observation: a neighbor's neighbor is likely a neighbor).
+
+    Round-2 sampled only each neighbor's first m columns — which, after
+    _bulk_reverse_link, are exactly the node's own selected edges, so
+    the join never saw REVERSE edges and graph 10-NN recall saturated at
+    ~0.73 on uniform corpora (measured round 3). Classic NN-descent's
+    local join needs both directions (a reverse neighbor's neighbors are
+    candidates too); the alternating-phase stride-2 sample covers own
+    and reverse halves across rounds at unchanged candidate width, and
+    the random probes escape locally-optimal basins. ``rnd`` is the
+    traced round counter (phase + random seed), so every round shares
+    one compilation.
+
     Returns sel [Nslabbed, m] own lists for the reverse-link pass."""
     N = nbr0.shape[0]
     deg = nbr0.shape[1]
@@ -540,9 +603,17 @@ def _nn_descent_round(nbr0, vecs, sqnorms, n_arr, *, m: int, metric: str,
         rows_safe = jnp.minimum(rows, N - 1)
         nb = nbr0[rows_safe]                                # [s, deg]
         nb_safe = jnp.maximum(nb, 0)
-        nb2 = nbr0[nb_safe][:, :, :m].reshape(slab, deg * m)
-        nb2 = jnp.where(jnp.repeat(nb >= 0, m, axis=1), nb2, -1)
-        cand = jnp.concatenate([nb, nb2], axis=1)           # [s, deg(1+m)]
+        nn2 = nbr0[nb_safe]                                 # [s, deg, deg]
+        # stride-2 column sample with per-round phase: even rounds see
+        # each neighbor's own-selected half, odd rounds its reverse half
+        cols = (rnd % 2) + 2 * jnp.arange(deg // 2, dtype=jnp.int32)
+        nb2 = jnp.take(nn2, cols, axis=2).reshape(slab, deg * (deg // 2))
+        nb2 = jnp.where(jnp.repeat(nb >= 0, deg // 2, axis=1), nb2, -1)
+        # long-range random candidates (fresh per round and per slab)
+        rkey = jax.random.fold_in(jax.random.PRNGKey(7), rnd * 65536 + s)
+        rand = jax.random.randint(rkey, (slab, n_rand), 0,
+                                  jnp.maximum(n_arr, 1), dtype=jnp.int32)
+        cand = jnp.concatenate([nb, nb2, rand], axis=1)
         cand = jnp.where(cand == rows_safe[:, None], -1, cand)
         # sort-dedup (duplicates would survive _prune_closest)
         order = jnp.argsort(jnp.where(cand >= 0, cand, jnp.int32(2**30)),
@@ -571,10 +642,10 @@ def _nn_descent_round(nbr0, vecs, sqnorms, n_arr, *, m: int, metric: str,
 
 @functools.partial(jax.jit,
                    static_argnames=("graph_top", "node_top", "efc", "m",
-                                    "metric", "heuristic"))
+                                    "metric", "heuristic", "net"))
 def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
                  graph_top: int, node_top: int, efc: int, m: int,
-                 metric: str, heuristic: bool):
+                 metric: str, heuristic: bool, net: bool = True):
     """The whole per-wave search phase as ONE program: greedy descent
     through the upper levels, intra-wave candidate mining, ef-bounded beam
     search per level, and diversity-heuristic neighbor selection.
@@ -630,7 +701,7 @@ def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
         _, bi = _beam_search(
             q, per_level_entry[l], vecs, sqnorms, nbrU, nodesU, 0,
             metric=metric, ef=efc, max_steps=efc // 4 + 32,
-            identity_map=False, expand=4)
+            identity_map=False, expand=4, net=net)
         cand_g = jnp.where(bi >= 0, nodesU[jnp.maximum(bi, 0)], -1)
         if within is not None:
             # keep only wave members that exist at this level
@@ -643,7 +714,7 @@ def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
     _, bi0 = _beam_search(
         q, entry0, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
         metric=metric, ef=efc, max_steps=efc // 4 + 32,
-        identity_map=True, expand=4)
+        identity_map=True, expand=4, net=net)
     cand0 = bi0 if within is None else jnp.concatenate([bi0, within], axis=1)
     sel0 = select(cand0)
     return sel0, sels
@@ -651,10 +722,10 @@ def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("metric", "ef", "max_steps", "expand",
-                                    "topr"))
+                                    "topr", "net"))
 def _query_search_routed(q, centroids, reps, vecs, sqnorms, nbr0, *,
                          metric: str, ef: int, max_steps: int,
-                         expand: int, topr: int):
+                         expand: int, topr: int, net: bool = True):
     """Query search with the centroid router (bulk-built indexes): one
     [B, C] GEMM picks the top-R coarse cells, their representative rows
     seed a multi-entry level-0 beam — no upper-level descent."""
@@ -669,15 +740,15 @@ def _query_search_routed(q, centroids, reps, vecs, sqnorms, nbr0, *,
     return _beam_search(
         q, entries, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
         metric=metric, ef=ef, max_steps=max_steps, identity_map=True,
-        expand=expand)
+        expand=expand, net=net)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("graph_top", "ef", "max_steps",
-                                    "metric", "expand"))
+                                    "metric", "expand", "net"))
 def _query_search(q, entry, vecs, sqnorms, nbr0, uppers, *,
                   graph_top: int, ef: int, max_steps: int, metric: str,
-                  expand: int):
+                  expand: int, net: bool = True):
     """Query-time search as one program: greedy descent through the upper
     levels + level-0 beam. One dispatch + one sync per sub-batch."""
     B = q.shape[0]
@@ -691,7 +762,7 @@ def _query_search(q, entry, vecs, sqnorms, nbr0, uppers, *,
     return _beam_search(
         q, cur, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
         metric=metric, ef=ef, max_steps=max_steps, identity_map=True,
-        expand=expand)
+        expand=expand, net=net)
 
 
 # ===========================================================================
@@ -871,10 +942,10 @@ class HNSWIndex(BaseIndex):
         # NN-descent refinement: neighbors-of-neighbors candidates,
         # re-prune, re-link (uniform-random corpora gain most — the IVF
         # bootstrap's candidates are probe-local)
-        for _ in range(max(0, refine)):
+        for r in range(max(0, refine)):
             sel_r = _nn_descent_round(
                 self._nbr0, self._vecs, self._sqnorms, jnp.int32(n),
-                m=self.m, metric=self._imetric,
+                jnp.int32(r), m=self.m, metric=self._imetric,
                 heuristic=self._heuristic)[:n]
             self._nbr0 = _bulk_reverse_link(
                 jnp.full_like(self._nbr0, -1), sel_r, self._vecs,
@@ -1206,7 +1277,8 @@ class HNSWIndex(BaseIndex):
             jnp.asarray(rows), jnp.int32(self.entry), self._vecs,
             self._sqnorms, self._nbr0, uppers,
             graph_top=graph_top, node_top=node_top, efc=efc, m=self.m,
-            metric=self._imetric, heuristic=self._heuristic)
+            metric=self._imetric, heuristic=self._heuristic,
+            net=_use_network())
         # --- level-0 links: one fused device program, adjacency donated
         # (round 1 did this host-side with several round-trips per wave —
         # the measured build bottleneck) ---
@@ -1561,12 +1633,14 @@ class HNSWIndex(BaseIndex):
                     qb, self._router["centroids"], self._router["reps"],
                     self._vecs, self._sqnorms, self._nbr0,
                     metric=self._imetric, ef=ef, max_steps=steps,
-                    expand=expand, topr=min(router_topr, ef))
+                    expand=expand, topr=min(router_topr, ef),
+                    net=_use_network())
             else:
                 bd, bi = _query_search(
                     qb, jnp.int32(self.entry), self._vecs, self._sqnorms,
                     self._nbr0, uppers, graph_top=self.entry_level, ef=ef,
-                    max_steps=steps, metric=self._imetric, expand=expand)
+                    max_steps=steps, metric=self._imetric, expand=expand,
+                    net=_use_network())
             keep = ef if not self._alive_np.all() else k
             outs_d.append(np.asarray(bd[:nb, :keep]))
             outs_i.append(np.asarray(bi[:nb, :keep]))
