@@ -222,7 +222,18 @@ class BM25Index:
                 tf + self.k1 * norm[rows])
         return out
 
-    # ---- device batch scoring (round 2) ----
+    # ---- device batch scoring (round 2; impact-ordered round 3) ----
+    #: segment budget per term on the device path. Postings are stored
+    #: impact-ordered (weight-descending within each term), so clamping
+    #: a term's scan to seg_cap segments keeps its seg_cap*seg
+    #: HIGHEST-weight postings and drops only the low-impact tail. The
+    #: idf floor alone still let df~0.99N terms through at ~100 device
+    #: segments each (idf=0.01 binds only above df~0.985N); the cap
+    #: bounds every term's cost. Dropped-posting error is bounded by the
+    #: term's weight at the cut — by construction <= its seg_cap*seg-th
+    #: largest weight. Host ``scores()`` stays the exact oracle.
+    seg_cap = 16
+
     def _ensure_device(self):
         if getattr(self, "_dev", None) is not None:
             return self._dev
@@ -234,23 +245,25 @@ class BM25Index:
         # the host formula in scores()
         term_of = np.repeat(np.arange(len(self.df)),
                             np.diff(self._offsets))
-        w = self.idf[term_of] * tf * (self.k1 + 1.0) / (
-            tf + self.k1 * norm[self._post_doc])
-        nnz = len(self._post_doc)
-        seg = 512
+        w = (self.idf[term_of] * tf * (self.k1 + 1.0) / (
+            tf + self.k1 * norm[self._post_doc])).astype(np.float32)
+        # impact order: weight-descending within each term (same CSR
+        # offsets — the permutation never crosses term boundaries)
+        perm = np.lexsort((-w, term_of))
+        post_doc, w = self._post_doc[perm], w[perm]
+        nnz = len(post_doc)
+        seg = 2048
         pad = (-nnz) % seg + seg
+        max_segs = max(1, -(-int(
+            self.df[self.idf >= self.prune_idf_below].max()) // seg)) \
+            if len(self.df) and \
+            bool((self.idf >= self.prune_idf_below).any()) else 1
         self._dev = {
-            "post_doc": jnp.asarray(np.pad(self._post_doc, (0, pad))),
-            "post_w": jnp.asarray(np.pad(w.astype(np.float32), (0, pad))),
+            "post_doc": jnp.asarray(np.pad(post_doc, (0, pad))),
+            "post_w": jnp.asarray(np.pad(w, (0, pad))),
             "fn": _get_bm25_device_fn(),
             "seg": seg,
-            # segment budget from the largest NON-pruned posting list
-            # (pruned near-ubiquitous terms never enter query slices)
-            "max_segs": max(1, -(-int(
-                self.df[self.idf >= self.prune_idf_below].max())
-                // seg))
-            if len(self.df) and
-            bool((self.idf >= self.prune_idf_below).any()) else 1,
+            "max_segs": min(max_segs, self.seg_cap),
         }
         return self._dev
 
@@ -308,6 +321,15 @@ class BM25Index:
                 c = [c[i] for i in order]
             else:
                 o, c = o[:T], c[:T]
+            # align heavy terms across the batch: each scan column's
+            # fori bound is the BATCH max count in that column, so
+            # sorting every query's terms count-descending concentrates
+            # long posting lists in the same few columns instead of
+            # making every column pay the batch-max price
+            if len(c) > 1:
+                ordc = np.argsort(c, kind="stable")[::-1]
+                o = [o[i] for i in ordc]
+                c = [c[i] for i in ordc]
             off[b, : len(o)] = o
             cnt[b, : len(c)] = c
         # pad B to a power of two (compile-shape stability)

@@ -277,3 +277,27 @@ def test_hybrid_device_fusion_matches_host_oracle(rng):
         assert set(i_d[b]) == set(i_h[b]), (b, i_d[b], i_h[b])
     np.testing.assert_allclose(np.sort(s_d, axis=1),
                                np.sort(s_h, axis=1), rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_searcher_pipelined_matches_batch(rng):
+    """HybridSearcher (pipelined, zero host syncs between stages) must
+    reproduce hybrid_search_batch on an IVF index with non-contiguous
+    external ids, including across a sub-batch boundary."""
+    from neurondb_tpu.index import IVFFlatIndex
+    n = 4000
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    ext = np.arange(n, dtype=np.int64) * 3 + 1
+    docs = [f"term{i % 29} body word{i % 13} filler" for i in range(n)]
+    idx = IVFFlatIndex(x, nlists=8, ids=ext)
+    bm = B.BM25Index(docs, ids=ext)
+    q = np.repeat(x[5:21] + 0.01, 3, axis=0)          # 48 queries
+    texts = [f"term{(5 + i // 3) % 29} word{(5 + i // 3) % 13}"
+             for i in range(48)]
+    searcher = H.HybridSearcher(idx, bm, candidates=64, approx=False)
+    s_p, i_p = searcher.search_batch(q, texts, k=8, batch=32, nprobe=8)
+    s_b, i_b = H.hybrid_search_batch(idx, bm, q, texts, k=8,
+                                     candidates=64, nprobe=8)
+    for b in range(48):
+        assert set(i_p[b]) == set(i_b[b]), (b, i_p[b], i_b[b])
+    np.testing.assert_allclose(np.sort(s_p, axis=1),
+                               np.sort(s_b, axis=1), rtol=1e-4, atol=1e-4)
