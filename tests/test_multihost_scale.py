@@ -1,0 +1,145 @@
+"""Multi-chip at non-toy scale (VERDICT r2 item 5): 100k-row recall vs a
+single-device oracle, pinned deterministic cross-shard tie-break order
+(mirroring merge_distributed_results' stable shard-major merge,
+NeuronDB/src/util/distributed.c:320), and a bounded-memory assertion on
+the streaming build."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from neurondb_tpu.parallel import (MultiHostFlatIndex, MultiHostIVFIndex,
+                                   ShardedIVFIndex, make_mesh, make_mesh_2d)
+
+
+@pytest.fixture(scope="module")
+def mesh2():
+    return make_mesh_2d(2, 4)
+
+
+@pytest.fixture(scope="module")
+def corpus100k(rng):
+    # mild clustering so nprobe<nlists is a meaningful operating point
+    centers = rng.standard_normal((128, 32)).astype(np.float32) * 1.5
+    lab = rng.integers(0, 128, 100_000)
+    x = centers[lab] + rng.standard_normal((100_000, 32)).astype(np.float32)
+    q = x[:256] + 0.01 * rng.standard_normal((256, 32)).astype(np.float32)
+    # exact oracle in numpy blocks (single source of truth, no jax)
+    gt = np.empty((256, 10), np.int64)
+    for s in range(0, 256, 64):
+        d2 = ((q[s:s + 64, None, :] - x[None, :, :]) ** 2).sum(-1)
+        gt[s:s + 64] = np.argsort(d2, axis=1)[:, :10]
+    return x, q, gt
+
+
+def _recall(ids, gt):
+    return np.mean([len(set(a) & set(b)) / gt.shape[1]
+                    for a, b in zip(ids, gt)])
+
+
+def test_sharded_ivf_100k_recall(corpus100k):
+    x, q, gt = corpus100k
+    idx = ShardedIVFIndex(x, nlists=128, mesh=make_mesh(8), seed=0)
+    _, ids = idx.search(q, k=10, nprobe=16)
+    r = _recall(ids, gt)
+    assert r >= 0.95, f"sharded IVF 100k recall {r}"
+    assert (ids[:, 0] == np.arange(256)).all()
+
+
+def test_multihost_ivf_100k_recall(mesh2, corpus100k):
+    x, q, gt = corpus100k
+    chunks = [x[i:i + 25_000] for i in range(0, 100_000, 25_000)]
+    idx = MultiHostIVFIndex.from_chunks(chunks, nlists=128, mesh=mesh2,
+                                        sample_cap=20_000)
+    assert idx.n == 100_000
+    _, ids = idx.search(q, k=10, nprobe=16)
+    r = _recall(ids, gt)
+    assert r >= 0.95, f"multi-host IVF 100k recall {r}"
+
+
+def test_cross_shard_tie_break_pinned(mesh2, rng):
+    """Exact duplicates spread across shards: the merge must return them
+    in deterministic shard-major order (gather order = fixed axis order,
+    ties resolve to the lowest gathered position), mirroring
+    merge_distributed_results' stable insertion-order qsort
+    (distributed.c:320). Row-sharded layout puts row i on shard i//(N/8),
+    so the pinned order is ascending row id."""
+    n, d = 4096, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    dup_rows = [5, 700, 1300, 2100, 2900, 3700]   # span all 8 shards
+    probe = np.float32(rng.standard_normal(d))
+    for r in dup_rows:
+        x[r] = probe
+    idx = MultiHostFlatIndex(x, mesh=mesh2)
+    d1, i1 = idx.search(probe[None, :], k=len(dup_rows))
+    assert list(i1[0]) == dup_rows, i1[0]         # shard-major, ascending
+    np.testing.assert_allclose(d1[0], 0.0, atol=1e-5)
+    # determinism across repeated merges
+    for _ in range(3):
+        _, i2 = idx.search(probe[None, :], k=len(dup_rows))
+        assert (i2 == i1).all()
+
+
+_RSS_CHILD = textwrap.dedent("""
+    import os, resource, sys
+    sys.path.insert(0, {repo_root!r})
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \\
+        " --xla_force_host_platform_device_count=8"
+    os.environ["NEURONDB_TPU_COMPCACHE"] = "0"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from neurondb_tpu.parallel import MultiHostIVFIndex, make_mesh_2d
+
+    mode = sys.argv[1]
+    n, d, chunk = 1_000_000, 32, 50_000
+    def gen():
+        rng = np.random.default_rng(0)
+        for _ in range(n // chunk):
+            yield rng.standard_normal((chunk, d)).astype(np.float32)
+    mesh = make_mesh_2d(2, 4)
+    if mode == "streaming":
+        idx = MultiHostIVFIndex.from_chunks(gen, nlists=64, mesh=mesh,
+                                            sample_cap=20_000)
+    else:
+        idx = MultiHostIVFIndex.from_chunks(list(gen()), nlists=64,
+                                            mesh=mesh, sample_cap=20_000)
+    assert idx.n == n
+    _, ids = idx.search(np.zeros((4, d), np.float32), k=5, nprobe=4)
+    assert ids.shape == (4, 5)
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    print("PEAK_MB", peak_mb)
+""")
+
+
+@pytest.mark.slow
+def test_from_chunks_streaming_bounded_rss(tmp_path):
+    """The factory (streaming) build at 1M rows must hold materially less
+    host memory than the buffered build: the source is re-read per shard
+    and only one shard's rows are resident (class docstring contract).
+    Runs in subprocesses so ru_maxrss reflects just this build."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "rss_child.py"
+    script.write_text(_RSS_CHILD.format(repo_root=repo_root))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+
+    def run(mode):
+        out = subprocess.run(
+            [sys.executable, str(script), mode], env=env,
+            capture_output=True, text=True, timeout=1200)
+        assert out.returncode == 0, out.stderr[-2000:]
+        for line in out.stdout.splitlines():
+            if line.startswith("PEAK_MB"):
+                return float(line.split()[1])
+        raise AssertionError(f"no PEAK_MB in output: {out.stdout}")
+
+    stream_mb = run("streaming")
+    buffered_mb = run("buffered")
+    # corpus is 128 MB f32; buffered holds >= 2 extra host copies of it
+    # (buffered list + pending layout buffers) beyond what streaming
+    # needs. Require a full corpus-copy of headroom.
+    assert stream_mb < buffered_mb - 100, (stream_mb, buffered_mb)
