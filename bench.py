@@ -29,15 +29,48 @@ import numpy as np
 
 BASELINE_QPS = 2000.0
 GT_PATH = os.environ.get("NDB_BENCH_GT_PATH", "/tmp/ndb_bench_gt.npz")
+# corpus flavors: "clustered" (SIFT-like; the default headline),
+# "uniform" (uniform-random — the hard, flattery-bounding corpus: see
+# BASELINE.md honesty notes; nprobe must rise far higher for the same
+# recall). A mounted real dataset (SIFT1M .fvecs) overrides both.
+CORPUS = os.environ.get("NDB_BENCH_CORPUS", "clustered")
 
 
-def make_corpus(n, d, seed=0):
-    """Clustered float32 corpus, SIFT-like scale."""
+def find_real_dataset():
+    """Auto-detect a mounted .fvecs dataset (SIFT1M/DEEP layout:
+    *_base.fvecs + *_query.fvecs + *_groundtruth.ivecs in one
+    directory). Search order: $NDB_BENCH_FVECS_DIR, then common mount
+    points. Returns (base, query, gt) paths or None."""
+    import glob
+    roots = [os.environ.get("NDB_BENCH_FVECS_DIR", "")]
+    roots += ["/data", "/datasets", "/mnt", "/root/datasets",
+              "/root/data"]
+    for root in roots:
+        if not root or not os.path.isdir(root):
+            continue
+        for base in sorted(
+                glob.glob(os.path.join(root, "**", "*_base.fvecs"),
+                          recursive=True)):
+            stem = base[: -len("_base.fvecs")]
+            qp, gp = stem + "_query.fvecs", stem + "_groundtruth.ivecs"
+            if os.path.exists(qp) and os.path.exists(gp):
+                return base, qp, gp
+    return None
+
+
+def make_corpus(n, d, seed=0, corpus=None):
+    """Synthetic float32 corpus: clustered (SIFT-like) or uniform."""
     rng = np.random.default_rng(seed)
-    ncl = 256
-    centers = rng.standard_normal((ncl, d)).astype(np.float32) * 2.0
+    corpus = CORPUS if corpus is None else corpus
     out = np.empty((n, d), np.float32)
     step = 65536
+    if corpus == "uniform":
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            out[s:e] = rng.standard_normal((e - s, d)).astype(np.float32)
+        return out
+    ncl = 256
+    centers = rng.standard_normal((ncl, d)).astype(np.float32) * 2.0
     for s in range(0, n, step):
         e = min(s + step, n)
         ids = rng.integers(0, ncl, e - s)
@@ -46,6 +79,12 @@ def make_corpus(n, d, seed=0):
 
 
 def _bench_inputs(n, d, nq):
+    real = find_real_dataset()
+    if real is not None:
+        from neurondb_tpu import native
+        x = native.read_vecs(real[0], "fvecs")[:n]
+        q = native.read_vecs(real[1], "fvecs")[:nq]
+        return np.ascontiguousarray(x), np.ascontiguousarray(q)
     x = make_corpus(n, d)
     rng = np.random.default_rng(1)
     q = x[rng.choice(n, nq, replace=False)] + \
@@ -76,6 +115,7 @@ def gt_only():
                                 chunk=131072)
         gt_ids[s:e] = np.asarray(ids)[: e - s]
     np.savez(GT_PATH, gt_ids=gt_ids, n=n, nq=nq,
+             corpus="real" if find_real_dataset() is not None else CORPUS,
              seconds=time.time() - t0)
 
 
@@ -92,16 +132,33 @@ def main():
     # destabilizes later kernel executions in-process); (2) Mosaic kernel
     # prewarm into the persistent cache (fresh Mosaic compiles are only
     # reliable in a pristine process). See IMPLEMENTATION_NOTES.md.
-    gt_ok = False
-    if os.path.exists(GT_PATH):
-        blob = np.load(GT_PATH)
-        gt_ok = int(blob["n"]) == n and int(blob["nq"]) == nq
-    if not gt_ok:
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--gt-only"], check=True, timeout=540)
-        blob = np.load(GT_PATH)
-    gt_ids = blob["gt_ids"]
-    gt_s = float(blob["seconds"])
+    real = find_real_dataset()
+    gt_ids, gt_s = None, 0.0
+    if real is not None:
+        # mounted real dataset: its published ground truth is exact for
+        # the FULL base; recompute when NDB_BENCH_N truncates it
+        from neurondb_tpu import native
+        import struct
+        with open(real[0], "rb") as f:
+            dim = struct.unpack("<i", f.read(4))[0]
+        full_n = os.path.getsize(real[0]) // (4 + 4 * dim)
+        if n >= full_n:
+            n, d = full_n, dim
+            gt_ids = native.read_ground_truth(real[2])[:nq, :k]
+    if gt_ids is None:
+        gt_ok = False
+        if os.path.exists(GT_PATH):
+            blob = np.load(GT_PATH)
+            gt_ok = (int(blob["n"]) == n and int(blob["nq"]) == nq
+                     and str(blob["corpus"] if "corpus" in blob
+                             else "clustered") ==
+                     (CORPUS if real is None else "real"))
+        if not gt_ok:
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--gt-only"], check=True, timeout=540)
+            blob = np.load(GT_PATH)
+        gt_ids = blob["gt_ids"]
+        gt_s = float(blob["seconds"])
 
     platforms = os.environ.get("JAX_PLATFORMS", "")
     if platforms.startswith(("axon", "tpu")) or platforms == "":
@@ -146,19 +203,25 @@ def main():
 
     # timed QPS at the chosen operating point: dispatch every sub-batch
     # without a host sync (serving-style pipelining: transfers overlap
-    # compute), one barrier at the end
+    # compute), one barrier at the end. Median of 3 in-process repeats:
+    # the shared backend's run-to-run variance spanned 51k-124k QPS on
+    # identical code (BASELINE.md honesty note), so a single sample is
+    # a coin flip — the median with the spread recorded is self-defending
     qbig = np.concatenate([q] * max(1, (8 * batch) // nq + 1))[: 8 * batch]
     index.search(qbig[:batch], k=k, nprobe=chosen)   # warmup
-    t0 = time.time()
-    done = 0
-    outs = []
-    for s in range(0, len(qbig), batch):
-        outs.append(index.search(qbig[s:s + batch], k=k, nprobe=chosen,
-                                 out="device"))
-        done += len(qbig[s:s + batch])
-    jax.block_until_ready([o[0] for o in outs])
-    wall = time.time() - t0
-    qps = done / wall
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        done = 0
+        outs = []
+        for s in range(0, len(qbig), batch):
+            outs.append(index.search(qbig[s:s + batch], k=k,
+                                     nprobe=chosen, out="device"))
+            done += len(qbig[s:s + batch])
+        jax.block_until_ready([o[0] for o in outs])
+        samples.append(done / (time.time() - t0))
+    samples.sort()
+    qps = samples[1]
 
     _, ids = index.search(qpad, k=k, nprobe=chosen)
     final_recall = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
@@ -175,6 +238,9 @@ def main():
         "build_seconds": round(build_s, 1),
         "ground_truth_seconds": round(gt_s, 1),
         "probe_sweep": probe_stats,
+        "qps_samples": [round(s, 1) for s in samples],
+        "corpus": "real:" + os.path.basename(real[0]) if real is not None
+                  else CORPUS,
         "backend": jax.default_backend(),
     }))
 
