@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""End-to-end cross-encoder rerank throughput: tokenize + encode + score
+(query, doc) pairs at 512 tokens through a BERT-base-shaped encoder with
+the flash-attention kernel, as the serving rerank stage would
+(NeuronDB/src/ml/ml_reranking_flash.c:64,125 rerank_flash semantics).
+
+Weights are random-init (zero-egress environment) — throughput is
+identical to real weights at the same geometry; only the scores differ.
+Prints one JSON line per batch size with docs/sec and the tokenizer's
+share of wall time (the host-side cost a service must pipeline).
+
+Usage: python scripts/bench_rerank.py   [env: NDB_RERANK_LAYERS=12]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from neurondb_tpu.ml.bert import bert_encode, init_bert_params
+    from neurondb_tpu.ml.tokenizer import WordPieceTokenizer
+
+    layers = int(os.environ.get("NDB_RERANK_LAYERS", 12))
+    hidden = int(os.environ.get("NDB_RERANK_HIDDEN", 768))
+    heads, max_len = hidden // 64, 512
+    params = init_bert_params(jax.random.PRNGKey(0), hidden=hidden,
+                              layers=layers, heads=heads, ff=4 * hidden,
+                              max_len=max_len)
+
+    # WordPiece over a synthetic vocab (HF vocab.txt format)
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + [
+        f"w{i}" for i in range(2000)] + [f"##s{i}" for i in range(200)]
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as f:
+        f.write("\n".join(words))
+        vocab_path = f.name
+    tok = WordPieceTokenizer.from_file(vocab_path)
+
+    rng = np.random.default_rng(0)
+    def mktext(n_words):
+        return " ".join(f"w{int(i)}" for i in rng.integers(0, 2000, n_words))
+    query = mktext(24)
+    docs = [mktext(480) for _ in range(256)]     # fills 512 tokens
+
+    for B in (32, 64):
+        pairs = docs[:B]
+        # warm (compile)
+        enc = [tok.encode_pair(query, d, max_len) for d in pairs]
+        ids = jnp.asarray(np.stack([e[0] for e in enc]))
+        types = jnp.asarray(np.stack([e[1] for e in enc]))
+        bert_encode(params, ids, types, heads=heads,
+                    use_flash=jax.default_backend() == "tpu"
+                    )["score"].block_until_ready()
+        reps, tok_s, enc_s = 3, 0.0, 0.0
+        for _ in range(reps):
+            t0 = time.time()
+            enc = [tok.encode_pair(query, d, max_len) for d in pairs]
+            ids = jnp.asarray(np.stack([e[0] for e in enc]))
+            types = jnp.asarray(np.stack([e[1] for e in enc]))
+            t1 = time.time()
+            bert_encode(params, ids, types, heads=heads,
+                        use_flash=jax.default_backend() == "tpu"
+                        )["score"].block_until_ready()
+            t2 = time.time()
+            tok_s += t1 - t0
+            enc_s += t2 - t1
+        wall = tok_s + enc_s
+        print(json.dumps({
+            "metric": "cross_encoder_rerank_docs_per_s",
+            "value": round(reps * B / wall, 1), "unit": "docs/s",
+            "batch": B, "seq_len": max_len, "layers": layers,
+            "hidden": hidden,
+            "tokenizer_share": round(tok_s / wall, 3),
+            "encode_ms_per_batch": round(1000 * enc_s / reps, 1),
+            "backend": jax.default_backend()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
