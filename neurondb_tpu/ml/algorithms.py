@@ -176,20 +176,35 @@ register_algorithm(Trainer(
                                                NB.naive_bayes_predict)))
 
 
-def _svm_train(X, y, *, num_classes=None, C=1.0, iters=300, kernel="linear",
-               gamma=1.0, rff=256, seed=0):
+def _svm_train(X, y, *, num_classes=None, C=1.0, iters=None,
+               kernel="linear", gamma=1.0, degree=3, coef0=1.0,
+               solver=None, rff=256, sample_cap=8192, seed=0):
+    """kernel != "linear" trains the exact dual solver (support-vector
+    semantics, ml_svm.c parity) unless solver="rff" asks for the
+    random-Fourier-feature approximation (faster at large n)."""
     nc = int(num_classes if num_classes is not None
              else int(jnp.max(jnp.asarray(y))) + 1)
-    if kernel == "rbf":
+    if solver is None:
+        solver = "primal" if kernel == "linear" else "dual"
+    if solver == "rff":
         Xf = NB.rbf_features(X, n_features=rff, gamma=gamma, seed=seed)
-        m = NB.svm_fit(Xf, y, num_classes=max(nc, 2), C=C, iters=iters)
+        m = NB.svm_fit(Xf, y, num_classes=max(nc, 2), C=C,
+                       iters=int(iters or 300))
         m["rbf"] = {"gamma": jnp.asarray(gamma), "rff": jnp.asarray(rff),
                     "seed": jnp.asarray(seed)}
         return m
-    return NB.svm_fit(X, y, num_classes=max(nc, 2), C=C, iters=iters)
+    if solver == "dual":
+        return NB.svm_kernel_fit(
+            X, y, num_classes=max(nc, 2), C=C, kernel=kernel, gamma=gamma,
+            degree=degree, coef0=coef0, iters=int(iters or 500),
+            sample_cap=sample_cap, seed=seed)
+    return NB.svm_fit(X, y, num_classes=max(nc, 2), C=C,
+                      iters=int(iters or 300))
 
 
 def _svm_predict(m, X):
+    if "sv" in m:
+        return NB.svm_kernel_predict(m, X)
     if "rbf" in m:
         X = NB.rbf_features(X, n_features=int(m["rbf"]["rff"]),
                             gamma=float(m["rbf"]["gamma"]),

@@ -197,3 +197,65 @@ def test_algorithm_listing():
                  "gradient_boosting", "svm", "naive_bayes",
                  "knn_classifier", "logistic_regression", "lasso"):
         assert name in algos
+
+
+# ---- kernel SVM (exact dual solver) ----
+
+def test_svm_dual_matches_numpy_qp_oracle():
+    """The jitted projected-gradient dual solve must reach the same box-QP
+    optimum as a float64 numpy oracle run to tight convergence."""
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((80, 3)).astype(np.float32)
+    y = (X[:, 0] - 0.5 * X[:, 1] > 0).astype(np.int32)
+    C, gamma = 1.0, 0.7
+
+    m = NB.svm_kernel_fit(X, y, num_classes=2, C=C, kernel="rbf",
+                          gamma=gamma, iters=3000)
+
+    # float64 oracle: same QP, scalar projected gradient to convergence
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1).astype(np.float64)
+    K = np.exp(-gamma * d2)
+    t = np.where(y == 1, 1.0, -1.0)
+    lam = np.linalg.eigvalsh(K).max()
+    a = np.zeros(80)
+    for _ in range(20000):
+        a = np.clip(a + (1.0 / lam) * (1.0 - t * (K @ (a * t))), 0.0, C)
+    f_oracle = K @ (a * t)
+
+    # compare decision values (up to the shared bias), class-1 column
+    dec = np.asarray(NB.svm_kernel_decision(m, X))
+    f_model = dec[:, 1] - float(np.asarray(m["b"])[1])
+    assert np.max(np.abs(f_model - f_oracle)) < 5e-2
+    # support-vector compaction kept only active rows
+    assert int(m["n_support"]) <= 80
+    assert int(m["n_support"]) >= int((a > 1e-6).sum()) - 5
+
+
+def test_svm_dual_rbf_circles(rng):
+    """Nonlinear decision surface the linear solver cannot represent."""
+    t = rng.uniform(0, 2 * np.pi, 400).astype(np.float32)
+    r = np.concatenate([np.full(200, 1.0), np.full(200, 3.0)]).astype(
+        np.float32)
+    X = np.stack([r * np.cos(t), r * np.sin(t)], 1)
+    X += 0.1 * rng.standard_normal(X.shape).astype(np.float32)
+    y = (r > 2).astype(np.int32)
+    m = NB.svm_kernel_fit(X, y, num_classes=2, kernel="rbf", gamma=0.5,
+                          iters=800)
+    pred = np.asarray(NB.svm_kernel_predict(m, X))
+    assert (pred == y).mean() > 0.97
+
+
+def test_svm_dual_multiclass_and_api(blobs):
+    X, y = blobs
+    mid = ML.train("p", "svm", X, y, {"kernel": "rbf", "gamma": 0.2,
+                                      "solver": "dual", "iters": 600})
+    assert (ML.predict(mid, X) == y).mean() > 0.95
+
+
+def test_svm_dual_poly_kernel(rng):
+    X = rng.standard_normal((300, 2)).astype(np.float32)
+    y = ((X[:, 0] * X[:, 1]) > 0).astype(np.int32)   # XOR-ish quadrant
+    m = NB.svm_kernel_fit(X, y, num_classes=2, kernel="poly", degree=2,
+                          gamma=1.0, coef0=0.0, iters=1500, C=5.0)
+    pred = np.asarray(NB.svm_kernel_predict(m, X))
+    assert (pred == y).mean() > 0.9
