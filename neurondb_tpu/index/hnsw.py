@@ -114,19 +114,21 @@ def _greedy_descent(q, cur, vecs, sqnorms, nbr, rowmap, *,
 
 
 def _use_network() -> bool:
-    """Beam-merge strategy default: the bitonic network on TPU (XLA's
-    sort/top_k HLOs serialize on the scalar core there — ~6 of 8.5 ms
-    per beam step at B=1024, round 2), plain top_k elsewhere (CPU's
-    partial sort beats 36 elementwise stages). NDB_SORTNET=1/0 forces
-    either path; it is threaded through the jits as a STATIC argument
+    """Beam-merge strategy default: plain lax.top_k everywhere. The
+    bitonic-network merge (ops/sortnet.py) was built on the round-2
+    diagnosis that top_k dominated the beam step (~6 of 8.5 ms at
+    B=1024), but the end-to-end A/B on the 1M index measured it 3.5-4x
+    SLOWER than top_k on the TPU backend (1.3-1.5k vs 5.1-5.6k QPS at
+    ef=8 across batch 1024-4096): the 36 elementwise compare/select
+    stages each rewrite the full [B, ef+E*deg] payload in VMEM, while
+    XLA's top_k only scans it. NDB_SORTNET=1 keeps the network path
+    available; it is threaded through the jits as a STATIC argument
     (env is read at call sites, never inside a traced function)."""
     import os
     env = os.environ.get("NDB_SORTNET", "").lower()
     if env in ("1", "true"):
         return True
-    if env in ("0", "false"):
-        return False
-    return jax.default_backend() == "tpu"
+    return False
 
 
 @functools.partial(jax.jit,
@@ -1675,6 +1677,11 @@ class HNSWIndex(BaseIndex):
             "ids": self._ids_np,
             "levels": self._levels_np,
             "alive": self._alive_np,
+            # sqnorms are computed from the f32 inputs at build time but
+            # vecs are stored bf16 — persist them so a loaded index
+            # reproduces search results bit-for-bit (recomputing from
+            # bf16 shifts distance tie-breaks)
+            "sqnorms": self._sqnorms[: self.n],
         }
         for l, u in enumerate(self._upper, start=1):
             arrays[f"u{l}_nodes"] = u["nodes"][: u["n"]]
@@ -1712,7 +1719,11 @@ class HNSWIndex(BaseIndex):
         self._ensure_capacity(max(n, 1))
         x = jnp.asarray(arrays["vecs"])
         self._vecs = self._vecs.at[:n].set(x.astype(self._vecs.dtype))
-        self._sqnorms = self._sqnorms.at[:n].set(jnp.sum(x * x, axis=1))
+        if "sqnorms" in arrays:
+            self._sqnorms = self._sqnorms.at[:n].set(
+                jnp.asarray(arrays["sqnorms"]))
+        else:  # older saves: recompute from the (bf16) stored vectors
+            self._sqnorms = self._sqnorms.at[:n].set(jnp.sum(x * x, axis=1))
         self._nbr0 = self._nbr0.at[:n].set(jnp.asarray(arrays["nbr0"]))
         self._ids_np = np.asarray(arrays["ids"])
         self._levels_np = np.asarray(arrays["levels"])

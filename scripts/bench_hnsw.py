@@ -57,7 +57,7 @@ def main():
     del xj
 
     save_path = os.environ.get("NDB_HNSW_SAVE")
-    if save_path and os.path.exists(save_path + ".npz"):
+    if save_path and os.path.exists(os.path.join(save_path, "arrays.npz")):
         t0 = time.time()
         idx = HNSWIndex.load(save_path)
         build_s = -round(time.time() - t0, 1)      # negative = load time
