@@ -17,10 +17,22 @@ real embeddings:
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+# ASCII fast path (service rerank tokenizes ~MBs of text per second and
+# the char-at-a-time loop was 99% of measured cross-encoder wall time):
+# for pure-ASCII text the basic tokenizer's semantics reduce to "alnum
+# runs are words; every other printable char is its own token; control
+# chars vanish" — one regex pass. NFD/Mn stripping is a no-op on ASCII.
+_ASCII_LOWER = re.compile(r"[a-z0-9]+|[^a-z0-9\s\x00-\x1f\x7f]")
+_ASCII_ANY = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s\x00-\x1f\x7f]")
+# control chars other than \t\n\r are REMOVED (adjacent words join),
+# exactly like the char-loop path / HF _clean_text
+_CTRL_DEL = {c: None for c in (*range(0, 9), 11, 12, *range(14, 32), 127)}
 
 PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
 
@@ -43,6 +55,10 @@ class BasicTokenizer:
         self.lowercase = lowercase
 
     def tokenize(self, text: str) -> List[str]:
+        if text.isascii():
+            text = text.translate(_CTRL_DEL)
+            return (_ASCII_LOWER.findall(text.lower())
+                    if self.lowercase else _ASCII_ANY.findall(text))
         out: List[str] = []
         buf: List[str] = []
 
@@ -86,6 +102,9 @@ class WordPieceTokenizer:
         self.unk_id = vocab.get(UNK, 1)
         self.cls_id = vocab.get(CLS, 2)
         self.sep_id = vocab.get(SEP, 3)
+        # word -> piece-ids memo: wordpiece is deterministic per word and
+        # real text repeats words heavily (bounded; ~40x on rerank docs)
+        self._word_cache: Dict[str, List[int]] = {}
 
     @classmethod
     def from_file(cls, path: str, **kw) -> "WordPieceTokenizer":
@@ -127,8 +146,14 @@ class WordPieceTokenizer:
 
     def tokenize_ids(self, text: str) -> List[int]:
         ids: List[int] = []
+        cache = self._word_cache
         for word in self.basic.tokenize(text):
-            ids.extend(self._wordpiece(word))
+            pieces = cache.get(word)
+            if pieces is None:
+                pieces = self._wordpiece(word)
+                if len(cache) < 1_000_000:
+                    cache[word] = pieces
+            ids.extend(pieces)
         return ids
 
     def tokenize(self, text: str) -> List[str]:

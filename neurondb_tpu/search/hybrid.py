@@ -258,10 +258,16 @@ class HybridSearcher:
         self._bm25_ids = jnp.asarray(bm25.ids.astype(np.int32))
 
     def search_batch(self, query_vecs, query_texts: Sequence[str],
-                     k: int = 10, *, batch: int = 512,
+                     k: int = 10, *, batch: Optional[int] = None,
                      **search_kw) -> Tuple[np.ndarray, np.ndarray]:
         q = np.atleast_2d(np.asarray(query_vecs, np.float32))
         nq = len(q)
+        if batch is None:
+            # larger sub-batches amortize the ~30 ms/dispatch tunnel
+            # cost (2048 measured ~1.5x faster than 512 at 200k docs);
+            # bound the [B, n_docs] f32 score matrix to ~2 GB
+            batch = 1 << max(8, min(11, int(np.log2(
+                max((1 << 31) // max(4 * self.bm25.n_docs, 1), 1)))))
         pad = (-nq) % batch
         if pad:
             q = np.concatenate([q, np.repeat(q[-1:], pad, axis=0)])

@@ -87,11 +87,11 @@ def main():
     nbig = 8 * n_hq
     qbig = xd[np.tile(qis, 8)]
     tbig = texts * 8
-    hs.search_batch(qbig[:n_hq], tbig[:n_hq], k=k, batch=512, **fkw)  # warm
+    hs.search_batch(qbig[:n_hq], tbig[:n_hq], k=k, **fkw)  # warm
     samples = []
     for _ in range(3):
         t0 = time.time()
-        _, ids_p = hs.search_batch(qbig, tbig, k=k, batch=512, **fkw)
+        _, ids_p = hs.search_batch(qbig, tbig, k=k, **fkw)
         samples.append(nbig / (time.time() - t0))
     samples.sort()
     hits = sum(int(qi in row) for qi, row in zip(np.tile(qis, 8), ids_p))

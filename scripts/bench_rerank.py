@@ -51,15 +51,38 @@ def main():
     query = mktext(24)
     docs = [mktext(480) for _ in range(256)]     # fills 512 tokens
 
+    import functools
+    use_flash = jax.default_backend() == "tpu"
+    ITERS = 4
+
+    # block_until_ready is not a reliable device timer through the axon
+    # tunnel (IMPLEMENTATION_NOTES hazard); chain ITERS encodes inside
+    # one jit with a data dependency and divide the wall by ITERS.
+    @jax.jit
+    def chain(params, ids, types):
+        # params as an argument, NOT a closure: closed-over weights are
+        # inlined as HLO constants and the 110M-param program exceeds
+        # the remote-compile tunnel's request size limit (HTTP 413)
+        def body(c, _):
+            out = bert_encode(params, c, types, heads=heads,
+                              use_flash=use_flash)
+            s = out["score"].sum()
+            # REAL data dependency: (s*0) constant-folds and XLA then
+            # hoists the loop-invariant encoder out of the scan (it
+            # "ran" ITERS iterations in 0.1 ms). Perturb the ids with a
+            # value XLA cannot fold; encoder cost is id-independent.
+            sint = jax.lax.bitcast_convert_type(s, jnp.int32)
+            return jnp.abs(c + sint % 3) % 1000, s
+        _, ss = jax.lax.scan(body, ids, None, length=ITERS)
+        return ss
+
     for B in (32, 64):
         pairs = docs[:B]
         # warm (compile)
         enc = [tok.encode_pair(query, d, max_len) for d in pairs]
         ids = jnp.asarray(np.stack([e[0] for e in enc]))
         types = jnp.asarray(np.stack([e[1] for e in enc]))
-        bert_encode(params, ids, types, heads=heads,
-                    use_flash=jax.default_backend() == "tpu"
-                    )["score"].block_until_ready()
+        np.asarray(chain(params, ids, types))        # warm (compile)
         reps, tok_s, enc_s = 3, 0.0, 0.0
         for _ in range(reps):
             t0 = time.time()
@@ -67,12 +90,13 @@ def main():
             ids = jnp.asarray(np.stack([e[0] for e in enc]))
             types = jnp.asarray(np.stack([e[1] for e in enc]))
             t1 = time.time()
-            bert_encode(params, ids, types, heads=heads,
-                        use_flash=jax.default_backend() == "tpu"
-                        )["score"].block_until_ready()
+            # np.asarray forces a VALUE fetch — block_until_ready
+            # returns early through the tunnel (0.1 "ms" for a 3.6
+            # TFLOP forward); only materialized bytes are honest
+            np.asarray(chain(params, ids, types))
             t2 = time.time()
             tok_s += t1 - t0
-            enc_s += t2 - t1
+            enc_s += (t2 - t1) / ITERS
         wall = tok_s + enc_s
         print(json.dumps({
             "metric": "cross_encoder_rerank_docs_per_s",
@@ -81,6 +105,7 @@ def main():
             "hidden": hidden,
             "tokenizer_share": round(tok_s / wall, 3),
             "encode_ms_per_batch": round(1000 * enc_s / reps, 1),
+            "encode_bound_docs_per_s": round(reps * B / enc_s, 1),
             "backend": jax.default_backend()}), flush=True)
 
 
