@@ -131,12 +131,32 @@ def _use_network() -> bool:
     return False
 
 
+def _use_ring() -> bool:
+    """Visited-set strategy for the QUERY path: the [B, W] expanded-id
+    ring on TPU (the bitmap's gather + scatter-add runs on the scalar
+    core at ~18M updates/s — ~25-40% of the beam step at 1M rows), the
+    packed bitmap elsewhere (CPU scatters fine, and the bitmap is the
+    reference semantics: scored-once, like hnswlib). Call sites gate
+    the ring on ef >= 12: at ef <= 10 the re-scored evicted candidates
+    crowd the tiny beam and recall drops (0.84 vs 0.97 measured at 1M).
+    NDB_VISITED=ring|bitmap forces the strategy (the ef gate still
+    applies); construction always uses the bitmap."""
+    import os
+    env = os.environ.get("NDB_VISITED", "").lower()
+    if env == "ring":
+        return True
+    if env == "bitmap":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric", "ef", "max_steps",
-                                    "identity_map", "expand", "net"))
+                                    "identity_map", "expand", "net",
+                                    "ring"))
 def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
                  metric: str, ef: int, max_steps: int, identity_map: bool,
-                 expand: int = 1, net: bool = True):
+                 expand: int = 1, net: bool = True, ring: bool = False):
     """ef-bounded best-first expansion at one level, whole batch in lockstep.
 
     q [B, D]; entry [B] local rows; nbr [Nc, deg] local adjacency (-1 pad);
@@ -146,6 +166,15 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
     expansion): E-fold fewer lockstep rounds and larger, more efficient
     gathers, at slightly eager exploration — used for construction.
     ``net`` selects the beam-merge implementation (see _use_network).
+    ``ring`` replaces the [B, Nc/32] packed visited bitmap with a small
+    [B, W] ring of EXPANDED ids + a beam-membership test + post-merge
+    dedupe (all dense VPU compares — the bitmap's gather + scatter-add
+    runs on the TPU scalar core, ~25-40%% of the step). W >= E*max_steps
+    + R so a node can never be expanded twice (no loops); a scored-but-
+    evicted node may be re-scored, which classic HNSW forbids but which
+    only re-considers (never loses) candidates. Requires net=False
+    (dedupe breaks the ascending-beam invariant the network merge
+    needs); falls back to the bitmap when W would exceed 256.
     Returns (dists [B, ef], rows [B, ef]) ascending, -1/-inf padded.
     """
     B = q.shape[0]
@@ -189,18 +218,28 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
         # merge sweep both rely on it); sort the multi-entry seed once
         beam_d, (beam_i, expanded) = SN.sort_with_payloads(
             beam_d, (beam_i, expanded))
-    # visited set as packed bit-words: a [B, Nc] byte map is carried
-    # (and on this backend copied) through every while_loop step — 1 GB
-    # at B=1024/N=1M, ~31 ms/step of pure bitmap traffic (measured r2).
-    # Packed uint32 words are 32x smaller. Updates are scatter-ADD of
-    # per-step-deduplicated fresh bits, which is exactly bitwise-OR
-    # because every added bit is distinct and currently zero.
-    nwords = (Nc + 31) // 32
-    e_safe = jnp.maximum(entry, 0)
-    e_bit = (jnp.uint32(1) << (e_safe.astype(jnp.uint32) & 31))
-    e_val = jnp.where(entry_ok, e_bit, jnp.uint32(0))
-    visited = jnp.zeros((B, nwords), jnp.uint32).at[
-        barange[:, None], e_safe >> 5].add(e_val)
+    W = 8
+    while W < E * max_steps + R + 1:
+        W *= 2
+    use_ring = ring and not net and W <= 256
+    if use_ring:
+        # ring of expanded ids (-1 empty); entries are covered by the
+        # beam-membership test until they are popped into the ring
+        visited = jnp.full((B, W), -1, jnp.int32)
+    else:
+        # visited set as packed bit-words: a [B, Nc] byte map is carried
+        # (and on this backend copied) through every while_loop step —
+        # 1 GB at B=1024/N=1M, ~31 ms/step of pure bitmap traffic
+        # (measured r2). Packed uint32 words are 32x smaller. Updates
+        # are scatter-ADD of per-step-deduplicated fresh bits, which is
+        # exactly bitwise-OR because every added bit is distinct and
+        # currently zero.
+        nwords = (Nc + 31) // 32
+        e_safe = jnp.maximum(entry, 0)
+        e_bit = (jnp.uint32(1) << (e_safe.astype(jnp.uint32) & 31))
+        e_val = jnp.where(entry_ok, e_bit, jnp.uint32(0))
+        visited = jnp.zeros((B, nwords), jnp.uint32).at[
+            barange[:, None], e_safe >> 5].add(e_val)
 
     def cond(state):
         _, _, expanded, _, step = state
@@ -240,27 +279,38 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
         nb = nbr[chosen].reshape(B, E * deg)                   # [B, E*deg]
         ok = (nb >= 0) & jnp.repeat(active, deg, axis=1)
         nb_safe = jnp.maximum(nb, 0)
-        # dedup within the step ALWAYS (not just E>1): the packed-bit
-        # scatter-add below is only OR-equivalent if every fresh id is
-        # unique within the step (adjacency rows may carry duplicates).
-        # id-sort via the bitonic network on TPU, argsort elsewhere
-        if net:
-            _, (nb_safe, ok) = SN.sort_with_payloads(
-                jnp.where(ok, nb_safe, Nc), (nb_safe, ok))
+        if use_ring:
+            # membership = dense compares vs the expanded ring and the
+            # current beam (no sort, no scatter; in-step duplicates are
+            # removed by the post-merge dedupe below)
+            visited = jnp.concatenate(
+                [jnp.where(active, chosen, -1), visited[:, :-E]], axis=1)
+            in_ring = (nb_safe[:, :, None] == visited[:, None, :]).any(2)
+            in_beam = (nb_safe[:, :, None] == beam_i[:, None, :]).any(2)
+            fresh = ok & ~(in_ring | in_beam)
         else:
-            order = jnp.argsort(jnp.where(ok, nb_safe, Nc), axis=1)
-            nb_safe = jnp.take_along_axis(nb_safe, order, axis=1)
-            ok = jnp.take_along_axis(ok, order, axis=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((B, 1), bool),
-             nb_safe[:, 1:] == nb_safe[:, :-1]], axis=1)
-        ok = ok & ~dup
-        word = nb_safe >> 5
-        bit = (jnp.uint32(1) << (nb_safe.astype(jnp.uint32) & 31))
-        seen = (visited[barange[:, None], word] & bit) != 0
-        fresh = ok & ~seen
-        visited = visited.at[barange[:, None], word].add(
-            jnp.where(fresh, bit, jnp.uint32(0)))
+            # dedup within the step ALWAYS (not just E>1): the
+            # packed-bit scatter-add below is only OR-equivalent if
+            # every fresh id is unique within the step (adjacency rows
+            # may carry duplicates). id-sort via the bitonic network on
+            # TPU, argsort elsewhere
+            if net:
+                _, (nb_safe, ok) = SN.sort_with_payloads(
+                    jnp.where(ok, nb_safe, Nc), (nb_safe, ok))
+            else:
+                order = jnp.argsort(jnp.where(ok, nb_safe, Nc), axis=1)
+                nb_safe = jnp.take_along_axis(nb_safe, order, axis=1)
+                ok = jnp.take_along_axis(ok, order, axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((B, 1), bool),
+                 nb_safe[:, 1:] == nb_safe[:, :-1]], axis=1)
+            ok = ok & ~dup
+            word = nb_safe >> 5
+            bit = (jnp.uint32(1) << (nb_safe.astype(jnp.uint32) & 31))
+            seen = (visited[barange[:, None], word] & bit) != 0
+            fresh = ok & ~seen
+            visited = visited.at[barange[:, None], word].add(
+                jnp.where(fresh, bit, jnp.uint32(0)))
 
         vr = vrow(nb_safe)
         g = vecs[vr].astype(jnp.float32)
@@ -286,11 +336,29 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
             beam_i = jnp.take_along_axis(cat_i, pos, axis=1)
             expanded = jnp.take_along_axis(cat_e, pos, axis=1)
         beam_i = jnp.where(beam_d < INF, beam_i, -1)
+        if use_ring:
+            # dedupe the beam: without the bitmap an id can enter twice
+            # (same id => same distance => slots need not be adjacent
+            # only under exact cross-id float ties, so compare all
+            # pairs); kill the later copy
+            dupb = ((beam_i[:, :, None] == beam_i[:, None, :])
+                    & (beam_i[:, :, None] >= 0)
+                    & jnp.tril(jnp.ones((ef, ef), bool), k=-1)[None]
+                    ).any(2)
+            beam_d = jnp.where(dupb, INF, beam_d)
+            beam_i = jnp.where(dupb, -1, beam_i)
+            expanded = expanded | dupb
         return beam_d, beam_i, expanded, visited, step + 1
 
     beam_d, beam_i, _, _, _ = jax.lax.while_loop(
         cond, body, (beam_d, beam_i, expanded, visited, jnp.int32(0)))
-    # already ascending from top_k of negated distances
+    if use_ring:
+        # the post-merge dedupe leaves INF holes mid-beam; restore the
+        # ascending contract with one final top_k
+        negv, pos = jax.lax.top_k(-beam_d, ef)
+        beam_d = -negv
+        beam_i = jnp.take_along_axis(beam_i, pos, axis=1)
+    # ascending from top_k of negated distances
     return beam_d, beam_i
 
 
@@ -724,10 +792,11 @@ def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("metric", "ef", "max_steps", "expand",
-                                    "topr", "net"))
+                                    "topr", "net", "ring"))
 def _query_search_routed(q, centroids, reps, vecs, sqnorms, nbr0, *,
                          metric: str, ef: int, max_steps: int,
-                         expand: int, topr: int, net: bool = True):
+                         expand: int, topr: int, net: bool = True,
+                         ring: bool = False):
     """Query search with the centroid router (bulk-built indexes): one
     [B, C] GEMM picks the top-R coarse cells, their representative rows
     seed a multi-entry level-0 beam — no upper-level descent."""
@@ -742,15 +811,15 @@ def _query_search_routed(q, centroids, reps, vecs, sqnorms, nbr0, *,
     return _beam_search(
         q, entries, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
         metric=metric, ef=ef, max_steps=max_steps, identity_map=True,
-        expand=expand, net=net)
+        expand=expand, net=net, ring=ring)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("graph_top", "ef", "max_steps",
-                                    "metric", "expand", "net"))
+                                    "metric", "expand", "net", "ring"))
 def _query_search(q, entry, vecs, sqnorms, nbr0, uppers, *,
                   graph_top: int, ef: int, max_steps: int, metric: str,
-                  expand: int, net: bool = True):
+                  expand: int, net: bool = True, ring: bool = False):
     """Query-time search as one program: greedy descent through the upper
     levels + level-0 beam. One dispatch + one sync per sub-batch."""
     B = q.shape[0]
@@ -764,7 +833,7 @@ def _query_search(q, entry, vecs, sqnorms, nbr0, uppers, *,
     return _beam_search(
         q, cur, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
         metric=metric, ef=ef, max_steps=max_steps, identity_map=True,
-        expand=expand, net=net)
+        expand=expand, net=net, ring=ring)
 
 
 # ===========================================================================
@@ -1636,13 +1705,15 @@ class HNSWIndex(BaseIndex):
                     self._vecs, self._sqnorms, self._nbr0,
                     metric=self._imetric, ef=ef, max_steps=steps,
                     expand=expand, topr=min(router_topr, ef),
-                    net=_use_network())
+                    net=_use_network(),
+                    ring=_use_ring() and ef >= 12)
             else:
                 bd, bi = _query_search(
                     qb, jnp.int32(self.entry), self._vecs, self._sqnorms,
                     self._nbr0, uppers, graph_top=self.entry_level, ef=ef,
                     max_steps=steps, metric=self._imetric, expand=expand,
-                    net=_use_network())
+                    net=_use_network(),
+                    ring=_use_ring() and ef >= 12)
             keep = ef if not self._alive_np.all() else k
             outs_d.append(np.asarray(bd[:nb, :keep]))
             outs_i.append(np.asarray(bi[:nb, :keep]))

@@ -85,6 +85,10 @@ def test_hnsw_net_paths_agree(rng, monkeypatch):
     x = rng.standard_normal((3000, 32)).astype(np.float32)
     q = rng.standard_normal((64, 32)).astype(np.float32)
     idx = HNSWIndex(x, m=8)
+    # pin the visited strategy so only the merge path differs (the ring
+    # visited set is a separate, intentionally-inexact strategy — see
+    # test_ring_visited_matches_bitmap)
+    monkeypatch.setenv("NDB_VISITED", "bitmap")
     monkeypatch.setenv("NDB_SORTNET", "0")
     d0, i0 = idx.search(q, k=10, ef=64)
     monkeypatch.setenv("NDB_SORTNET", "1")
@@ -95,3 +99,36 @@ def test_hnsw_net_paths_agree(rng, monkeypatch):
     assert same >= 0.99, same
     np.testing.assert_allclose(np.sort(d0, axis=1), np.sort(d1, axis=1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ring_visited_matches_bitmap(rng, monkeypatch):
+    """The [B, W] expanded-id ring visited set (TPU query default) vs
+    the packed bitmap: the ring may RE-CONSIDER a scored-but-evicted
+    candidate (classic HNSW forbids re-scoring), so results need not be
+    identical — but recall vs brute force must not degrade, and no
+    duplicate ids may survive the post-merge dedupe."""
+    from neurondb_tpu.index import HNSWIndex
+    x = rng.standard_normal((4000, 24)).astype(np.float32)
+    # plant exact duplicate vectors (cross-id distance ties stress the
+    # all-pairs beam dedupe)
+    x[100] = x[7]
+    x[2000] = x[7]
+    q = x[rng.integers(0, 4000, 64)] + \
+        0.01 * rng.standard_normal((64, 24)).astype(np.float32)
+    d2 = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1)[:, :10]
+    idx = HNSWIndex(x, m=8, seed=0)
+    monkeypatch.setenv("NDB_VISITED", "bitmap")
+    _, ib = idx.search(q, k=10, ef=48)
+    monkeypatch.setenv("NDB_VISITED", "ring")
+    _, ir = idx.search(q, k=10, ef=48)
+
+    def recall(ids):
+        return np.mean([len(set(a) & set(b)) / 10 for a, b in zip(ids, gt)])
+
+    rb, rr = recall(ib), recall(ir)
+    assert rr >= rb - 0.02, (rr, rb)
+    # no duplicate ids within any row (the -1 pad may repeat)
+    for row in ir:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live), row
