@@ -36,6 +36,7 @@ class NDBConfig:
     ivf_kmeans_iters: int = 50            # ivf_am.c:56
     ivf_kmeans_tol: float = 1e-3          # ivf_am.c:57
     ivf_sample_cap: int = 10000           # ivf_am.c:580 sampling rule floor
+    ivf_qt: int = 0                       # grouped-scan queries/tile (0=auto)
 
     # ---- compute-mode (gpu_* GUCs -> TPU equivalents) ----
     compute_mode: str = "auto"            # cpu | tpu | auto (gpu compute_mode GUC)

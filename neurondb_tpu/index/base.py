@@ -74,7 +74,21 @@ def _from_saved(a: np.ndarray) -> np.ndarray:
 
 
 def as_batch(queries) -> Tuple[jax.Array, bool]:
-    q = jnp.asarray(queries, jnp.float32)
+    """Batchify to [B, D] f32 on device.
+
+    Half-precision HOST arrays (float16 / ml_dtypes.bfloat16) are
+    transferred in their own 2-byte dtype and upcast on device: the
+    host->device link is the serving bottleneck (measured ~50 MB/s
+    through the axon tunnel — 8 MB of f32 queries cost ~160 ms of a
+    183 ms batch), so clients that tolerate half-precision queries get
+    2x the ingest for free. Passing f32 keeps exact semantics."""
+    if (not isinstance(queries, jax.Array)
+            and getattr(queries, "dtype", None) is not None
+            and np.dtype(queries.dtype).itemsize == 2
+            and np.dtype(queries.dtype).kind in "fV"):
+        q = jnp.asarray(queries).astype(jnp.float32)
+    else:
+        q = jnp.asarray(queries, jnp.float32)
     if q.ndim == 1:
         return q[None, :], True
     return q, False

@@ -136,9 +136,11 @@ def _ivf_post(vals, rows, row_ids, *, metric: str):
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "nprobe_pad"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "nprobe_pad", "qt"))
 def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
-                        nprobe, *, k: int, metric: str, nprobe_pad: int):
+                        nprobe, *, k: int, metric: str, nprobe_pad: int,
+                        qt: int = 0):
     """TPU fast path (round 2): coarse centroid stage -> list-grouped
     fused scan (ops/pallas/ivf_scan_grouped.py) -> merge + id map, all as
     ONE jit. One posting-list DMA serves a whole tile of queries (vs one
@@ -160,13 +162,14 @@ def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
     col = jnp.arange(npad, dtype=jnp.int32)[None, :]
     probes = jnp.where(col < nprobe, probes, nlists)
     B = q.shape[0]
-    t_max = G.tiles_for(B, npad, nlists)
+    qt = qt or G.auto_qt(B, npad, nlists)
+    t_max = G.tiles_for(B, npad, nlists, qt)
     kp = max(8, min(k, G.SEG))
     tile_off, tile_cnt, pos = G.group_probes(
-        probes, offsets, counts, qt=G.QT, t_max=t_max)
-    qpad = G._scatter_tuples(q, pos, npad=npad, qt=G.QT, t_max=t_max)
+        probes, offsets, counts, qt=qt, t_max=t_max)
+    qpad = G._scatter_tuples(q, pos, npad=npad, qt=qt, t_max=t_max)
     out_d, out_i = G.grouped_probe_scan(
-        qpad, vecs, tile_off, tile_cnt, kp=kp,
+        qpad, vecs, tile_off, tile_cnt, kp=kp, qt=qt,
         metric="ip" if metric == "ip" else "sqeuclidean")
     vals, rows = G.merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)
     return _ivf_post(vals, rows, row_ids, metric=metric)
@@ -417,7 +420,8 @@ class IVFFlatIndex(BaseIndex):
                     q, self.centroids, self._vecs, self._ext_ids,
                     self._offsets, self._counts, jnp.int32(nprobe),
                     k=min(k, max(self.n, 1)),
-                    metric=self.metric, nprobe_pad=max(npad, nprobe))
+                    metric=self.metric, nprobe_pad=max(npad, nprobe),
+                    qt=cfg.ivf_qt)
             else:     # round-1 per-query-DMA kernel (fallback)
                 segs_b = 1
                 while segs_b < max_segs:

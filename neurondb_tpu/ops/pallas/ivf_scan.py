@@ -173,7 +173,7 @@ def ivf_probe_scan(q, qsq, vecs, probes_off, probes_cnt, *,
         in_specs=[
             pl.BlockSpec((QB, D), lambda g, p, *_: (g, 0),
                          memory_space=pltpu.VMEM),     # q block
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vecs stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # vecs stay in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, QB, kp), lambda g, p, *_: (p, g, 0),

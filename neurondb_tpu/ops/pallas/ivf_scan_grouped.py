@@ -49,6 +49,19 @@ def tiles_for(b: int, npad: int, nlists: int, qt: int = QT) -> int:
     return (b * npad) // qt + nlists + 2
 
 
+def auto_qt(b: int, npad: int, nlists: int) -> int:
+    """Queries-per-tile by expected tile density (b*npad/nlists queries
+    share each probed list). Bigger tiles cut both the DMA traffic and
+    the sequential grid-cell count ~qt-fold, but a sparsely probed list
+    still pays a full-list scan per (mostly padded) tile — so scale qt
+    with density. Power-of-two buckets keep the compile cache small."""
+    density = (b * npad) / max(nlists, 1)
+    for qt in (64, 32):
+        if density >= qt:
+            return qt
+    return QT
+
+
 @functools.partial(jax.jit, static_argnames=("qt", "t_max"))
 def group_probes(probes, offsets, counts, *, qt: int, t_max: int):
     """probes [B, npad] int32 list ids (sentinel = nlists for padding).
@@ -89,6 +102,7 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
                          *, kp: int, metric: str):
     t = pl.program_id(0)
     T = pl.num_programs(0)
+    qt = q_ref.shape[0]                              # queries per tile
 
     @pl.when(t == 0)
     def _():
@@ -118,15 +132,15 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
     def _():
         get_dma(0, off, 0).start()
 
-    q = q_ref[:]                                     # [QT, D] f32
+    q = q_ref[:]                                     # [qt, D] f32
     D = q.shape[1]
     qb = q.astype(vecs_hbm.dtype)                    # bf16 for MXU dots
-    qsq_col = jnp.sum(q * q, axis=1, keepdims=True)  # [QT, 1] f32
+    qsq_col = jnp.sum(q * q, axis=1, keepdims=True)  # [qt, 1] f32
     ones_d = jnp.ones((1, D), jnp.float32)
     dn = (((1,), (1,)), ((), ()))
-    col = jax.lax.broadcasted_iota(jnp.int32, (QT, SEG), 1)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (QT, kp + SEG), 1)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (QT, kp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, SEG), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (qt, kp + SEG), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (qt, kp), 1)
 
     def seg_body(s, carry):
         run_d, run_i = carry
@@ -161,7 +175,7 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
         d = jnp.where(valid, d, NEG_FILL)
         ids = jnp.where(valid, off + s * SEG + col, -1)
 
-        cat_d = jnp.concatenate([run_d, d], axis=1)   # [QT, kp+SEG]
+        cat_d = jnp.concatenate([run_d, d], axis=1)   # [qt, kp+SEG]
         cat_i = jnp.concatenate([run_i, ids], axis=1)
 
         def pick(j, st):
@@ -179,12 +193,12 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
 
         _, new_d, new_i = jax.lax.fori_loop(
             0, kp, pick,
-            (cat_d, jnp.full((QT, kp), NEG_FILL, jnp.float32),
-             jnp.full((QT, kp), -1, jnp.int32)))
+            (cat_d, jnp.full((qt, kp), NEG_FILL, jnp.float32),
+             jnp.full((qt, kp), -1, jnp.int32)))
         return new_d, new_i
 
-    init = (jnp.full((QT, kp), NEG_FILL, jnp.float32),
-            jnp.full((QT, kp), -1, jnp.int32))
+    init = (jnp.full((qt, kp), NEG_FILL, jnp.float32),
+            jnp.full((qt, kp), -1, jnp.int32))
     run_d, run_i = jax.lax.fori_loop(0, n_segs, seg_body, init)
     out_d_ref[0] = run_d
     out_i_ref[0] = run_i
@@ -200,13 +214,14 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
     par_ref[0] = (p0 + n_segs) % 2
 
 
-@functools.partial(jax.jit, static_argnames=("kp", "metric", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("kp", "metric", "qt", "interpret"))
 def grouped_probe_scan(qpad, vecs, tile_off, tile_cnt, *,
                        kp: int, metric: str = "sqeuclidean",
-                       interpret: bool = False):
-    """qpad [T*QT, D] f32 tile-packed queries; vecs [Npad, D]
+                       qt: int = QT, interpret: bool = False):
+    """qpad [T*qt, D] f32 tile-packed queries; vecs [Npad, D]
     cluster-contiguous (f32 or bf16); tile_off/tile_cnt [T] int32.
-    Returns (dists [T, QT, kp], csr_rows [T, QT, kp]).
+    Returns (dists [T, qt, kp], csr_rows [T, qt, kp]).
 
     CALLER CONTRACT (same as ivf_scan.py): vecs padded >= SEG rows past
     the last list; list offsets 32-row aligned.
@@ -217,14 +232,14 @@ def grouped_probe_scan(qpad, vecs, tile_off, tile_cnt, *,
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((QT, D), lambda t, *_: (t, 0),
+            pl.BlockSpec((qt, D), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # vecs stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),     # vecs stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, QT, kp), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, qt, kp), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QT, kp), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, qt, kp), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -238,8 +253,8 @@ def grouped_probe_scan(qpad, vecs, tile_off, tile_cnt, *,
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T, QT, kp), jnp.float32),
-            jax.ShapeDtypeStruct((T, QT, kp), jnp.int32),
+            jax.ShapeDtypeStruct((T, qt, kp), jnp.float32),
+            jax.ShapeDtypeStruct((T, qt, kp), jnp.int32),
         ),
         interpret=interpret,
     )(tile_off, tile_cnt, qpad, vecs)
@@ -261,19 +276,19 @@ def merge_partials(out_d, out_i, pos, *, k: int):
 
 
 def ivf_grouped_search(q, probes, vecs, offsets, counts, *, k: int,
-                       metric: str = "sqeuclidean",
+                       metric: str = "sqeuclidean", qt: int = QT,
                        interpret: bool = False):
     """Full grouped pipeline: probes [B, npad] list ids (sentinel =
     nlists in padding slots). Returns (dists [B, k], csr_rows [B, k])."""
     B, npad = probes.shape
     nlists = counts.shape[0]
-    t_max = tiles_for(B, npad, nlists)
+    t_max = tiles_for(B, npad, nlists, qt)
     kp = max(8, min(k, SEG))
     tile_off, tile_cnt, pos = group_probes(
-        probes, offsets, counts, qt=QT, t_max=t_max)
-    qpad = _scatter_tuples(q, pos, npad=npad, qt=QT, t_max=t_max)
+        probes, offsets, counts, qt=qt, t_max=t_max)
+    qpad = _scatter_tuples(q, pos, npad=npad, qt=qt, t_max=t_max)
     out_d, out_i = grouped_probe_scan(qpad, vecs, tile_off, tile_cnt,
-                                      kp=kp, metric=metric,
+                                      kp=kp, metric=metric, qt=qt,
                                       interpret=interpret)
     return merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)
 

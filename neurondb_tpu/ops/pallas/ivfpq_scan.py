@@ -85,13 +85,14 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
     def _():
         get_dma(0, off, 0).start()
 
-    lut = lut_ref[:]                                  # [QT, ns*KS] f32
+    lut = lut_ref[:]                                  # [qt, ns*KS] f32
+    qt = lut.shape[0]
     KS = lut.shape[1] // ns
     dn = (((1,), (0,)), ((), ()))
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (ns, KS, sub), 1)
-    col_sub = jax.lax.broadcasted_iota(jnp.int32, (QT, sub), 1)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (QT, kp + sub), 1)
-    iota_kp = jax.lax.broadcasted_iota(jnp.int32, (QT, kp), 1)
+    col_sub = jax.lax.broadcasted_iota(jnp.int32, (qt, sub), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (qt, kp + sub), 1)
+    iota_kp = jax.lax.broadcasted_iota(jnp.int32, (qt, kp), 1)
 
     def seg_body(s, carry):
         slot = (p0 + s) % 2
@@ -144,14 +145,14 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
 
             _, new_d, new_i = jax.lax.fori_loop(
                 0, kp, pick,
-                (cat_d, jnp.full((QT, kp), NEG_FILL, jnp.float32),
-                 jnp.full((QT, kp), -1, jnp.int32)))
+                (cat_d, jnp.full((qt, kp), NEG_FILL, jnp.float32),
+                 jnp.full((qt, kp), -1, jnp.int32)))
             return new_d, new_i
 
         return jax.lax.fori_loop(0, SEG // sub, sub_body, carry)
 
-    init = (jnp.full((QT, kp), NEG_FILL, jnp.float32),
-            jnp.full((QT, kp), -1, jnp.int32))
+    init = (jnp.full((qt, kp), NEG_FILL, jnp.float32),
+            jnp.full((qt, kp), -1, jnp.int32))
     run_d, run_i = jax.lax.fori_loop(0, n_segs, seg_body, init)
     out_d_ref[0] = run_d
     out_i_ref[0] = run_i
@@ -165,27 +166,27 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
     par_ref[0] = (p0 + n_segs) % 2
 
 
-@functools.partial(jax.jit, static_argnames=("kp", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kp", "qt", "interpret"))
 def grouped_pq_scan(lutpad, codes_t, tile_off, tile_cnt, *,
-                    kp: int, interpret: bool = False):
-    """lutpad [T*QT, n_sub*KS] f32 (per-slot constant pre-folded: every
+                    kp: int, qt: int = QT, interpret: bool = False):
+    """lutpad [T*qt, n_sub*KS] f32 (per-slot constant pre-folded: every
     entry carries const/n_sub); codes_t [n_sub, Npad] uint8
     subspace-major; tile_off / tile_cnt [T]. Returns
-    (dists [T, QT, kp], csr_rows [T, QT, kp])."""
+    (dists [T, qt, kp], csr_rows [T, qt, kp])."""
     T = tile_off.shape[0]
     L = lutpad.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((QT, L), lambda t, *_: (t, 0),
+            pl.BlockSpec((qt, L), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # codes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),     # codes stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, QT, kp), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, qt, kp), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QT, kp), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, qt, kp), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -200,8 +201,8 @@ def grouped_pq_scan(lutpad, codes_t, tile_off, tile_cnt, *,
         kern,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T, QT, kp), jnp.float32),
-            jax.ShapeDtypeStruct((T, QT, kp), jnp.int32),
+            jax.ShapeDtypeStruct((T, qt, kp), jnp.float32),
+            jax.ShapeDtypeStruct((T, qt, kp), jnp.int32),
         ),
         interpret=interpret,
     )(tile_off, tile_cnt, lutpad, codes_t)
@@ -249,19 +250,22 @@ def build_luts(q, probes, centroids, codebooks, pos, R=None, *,
 
 def ivfpq_grouped_search(q, probes, centroids, codebooks, codes_t,
                          offsets, counts, *, k: int,
-                         metric: str = "sqeuclidean",
+                         metric: str = "sqeuclidean", qt: int = 0,
                          interpret: bool = False, R=None):
     """Full grouped IVF-PQ pipeline. probes [B, npad] list ids (sentinel
     = nlists in padding slots). Returns (dists [B, k], csr_rows [B, k])."""
+    from neurondb_tpu.ops.pallas.ivf_scan_grouped import auto_qt
     B, npad = probes.shape
     nlists = counts.shape[0]
-    t_max = tiles_for(B, npad, nlists)
+    qt = qt or auto_qt(B, npad, nlists)
+    t_max = tiles_for(B, npad, nlists, qt)
     kp = max(8, min(k, SUB))
     tile_off, tile_cnt, pos = group_probes(
-        probes, offsets, counts, qt=QT, t_max=t_max)
+        probes, offsets, counts, qt=qt, t_max=t_max)
     lutpad = build_luts(
-        q, probes, centroids, codebooks, pos, R, npad=npad, qt=QT,
+        q, probes, centroids, codebooks, pos, R, npad=npad, qt=qt,
         t_max=t_max, metric=metric)
     out_d, out_i = grouped_pq_scan(lutpad, codes_t, tile_off,
-                                   tile_cnt, kp=kp, interpret=interpret)
+                                   tile_cnt, kp=kp, qt=qt,
+                                   interpret=interpret)
     return merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)

@@ -132,6 +132,27 @@ def test_grouped_scan_matches_reference(grouped_layout, rng):
     assert (rows == ri).all()
 
 
+@pytest.mark.parametrize("qt", [32, 64])
+def test_grouped_scan_wide_tiles(grouped_layout, rng, qt):
+    """qt=32/64 tiles (auto-selected at high batch density) must match
+    the oracle exactly like the default qt=16."""
+    vecs, offsets, counts = grouped_layout
+    B, npadp, k = 48, 4, 10
+    nlists = len(counts)
+    q = rng.standard_normal((B, 128)).astype(np.float32)
+    probes = _mk_probes(rng, B, npadp, nlists)
+    d, rows = ivf_grouped_search(
+        jnp.asarray(q), jnp.asarray(probes), jnp.asarray(vecs),
+        jnp.asarray(offsets), jnp.asarray(counts), k=k, qt=qt,
+        interpret=True)
+    rd, ri = ivf_grouped_search_reference(q, probes, vecs, offsets,
+                                          counts, k=k)
+    d, rows = np.asarray(d), np.asarray(rows)
+    live = rd < 1e30
+    np.testing.assert_allclose(d[live], rd[live], rtol=1e-3, atol=1e-3)
+    assert (rows == ri).all()
+
+
 def test_grouped_scan_ip(grouped_layout, rng):
     vecs, offsets, counts = grouped_layout
     B, k = 16, 5
