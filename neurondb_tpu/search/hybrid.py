@@ -260,7 +260,14 @@ class HybridSearcher:
     def search_batch(self, query_vecs, query_texts: Sequence[str],
                      k: int = 10, *, batch: Optional[int] = None,
                      **search_kw) -> Tuple[np.ndarray, np.ndarray]:
-        q = np.atleast_2d(np.asarray(query_vecs, np.float32))
+        # keep half-precision host queries in their own dtype: as_batch
+        # transfers 2-byte arrays natively (the h2d link is the serving
+        # bottleneck through the tunnel) and upcasts on device
+        qdt = getattr(query_vecs, "dtype", None)
+        keep = (qdt is not None and np.dtype(qdt).itemsize == 2
+                and np.dtype(qdt).kind in "fV")
+        q = np.atleast_2d(np.asarray(query_vecs)
+                          if keep else np.asarray(query_vecs, np.float32))
         nq = len(q)
         if batch is None:
             # larger sub-batches amortize the ~30 ms/dispatch tunnel

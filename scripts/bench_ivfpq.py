@@ -47,6 +47,10 @@ def main():
     del flat
 
     qpad = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
+    if os.environ.get("NDB_WIRE", "bfloat16") == "bfloat16":
+        import ml_dtypes
+        qpad = qpad.astype(ml_dtypes.bfloat16)   # 2-byte query wire;
+        # recall below is measured through the same wire
 
     def measure(idx, build_s, nprobe, rerank):
         # recall on the padded batch (one compile shape throughout)
@@ -59,7 +63,10 @@ def main():
             t0 = time.time()
             outs = [idx.search(qpad, k=k, nprobe=nprobe, rerank=rerank,
                                out="device") for _ in range(nbatches)]
-            jax.block_until_ready([o[0] for o in outs])
+            # value fetch: block_until_ready returns early through the
+            # tunnel (notes, round-3 finding 4); the LAST output forces
+            # every earlier batch (in-order execution)
+            np.asarray(outs[-1][0][:1])
             samples.append(nbatches * batch / (time.time() - t0))
         samples.sort()
         return {
