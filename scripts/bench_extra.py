@@ -86,6 +86,9 @@ def main():
     hs = HybridSearcher(fidx, bm, candidates=100)
     nbig = 8 * n_hq
     qbig = xd[np.tile(qis, 8)]
+    if os.environ.get("NDB_WIRE", "bfloat16") == "bfloat16":
+        import ml_dtypes
+        qbig = qbig.astype(ml_dtypes.bfloat16)   # 2-byte query wire
     tbig = texts * 8
     hs.search_batch(qbig[:n_hq], tbig[:n_hq], k=k, **fkw)  # warm
     samples = []

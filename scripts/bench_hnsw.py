@@ -71,6 +71,10 @@ def main():
 
     batch = int(os.environ.get("NDB_BENCH_BATCH", 8192))
     qbig = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
+    if os.environ.get("NDB_WIRE", "bfloat16") == "bfloat16":
+        import ml_dtypes
+        qbig = qbig.astype(ml_dtypes.bfloat16)   # 2-byte query wire
+        # (as_batch upcasts on device); recall measured through it
     curve = []
     # (ef, expand, max_steps) operating points from the round-3 sweep
     # (ring visited set on TPU; recall converges by ~16 steps at ef=16)
