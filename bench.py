@@ -195,10 +195,12 @@ def main():
     # buckets nprobe internally for the same reason.
     qpad = qpad_warm
 
-    # nprobe sweep to hit recall >= 0.95 (nprobe<=16 shares one bucket)
+    # nprobe sweep to hit recall >= 0.95 (nprobe<=16 shares one bucket;
+    # 24-256 share the 64/256 buckets; uniform corpora need the high end,
+    # and nprobe=nlists falls back to the exact probe-everything scan)
     chosen = None
     probe_stats = []
-    for nprobe in (1, 2, 4, 8, 12, 16, 24, 48, 96):
+    for nprobe in (1, 2, 4, 8, 12, 16, 24, 48, 96, 128, 256):
         if nprobe > nlists:
             break
         _, ids = index.search(qpad, k=k, nprobe=nprobe)

@@ -38,6 +38,9 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+import sys
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -51,6 +54,29 @@ from neurondb_tpu.ops import sortnet as SN
 from neurondb_tpu.ops import topk as TK
 
 INF = jnp.float32(jnp.finfo(jnp.float32).max)
+
+
+def _phase_timer():
+    """Env-gated build-phase profiler (``NEURONDB_TPU_BUILD_PROFILE=1``).
+
+    Returns ``mark(label, *arrays)`` which value-fetches one row of each
+    array (``block_until_ready`` returns EARLY through the axon tunnel —
+    IMPLEMENTATION_NOTES round-3 finding 4, so a real fetch is the only
+    honest barrier) and prints the phase's wall time to stderr."""
+    if os.environ.get("NEURONDB_TPU_BUILD_PROFILE") != "1":
+        return None
+    state = {"t": time.time()}
+
+    def mark(label, *arrays):
+        for a in arrays:
+            if a is not None:
+                np.asarray(jax.device_get(a[:1]))
+        now = time.time()
+        print(f"[build-profile] {label}: {now - state['t']:.2f}s",
+              file=sys.stderr, flush=True)
+        state["t"] = now
+
+    return mark
 
 
 # ===========================================================================
@@ -998,18 +1024,25 @@ class HNSWIndex(BaseIndex):
         self._alive_np = np.ones(n, bool)
         self.n = n
 
+        mark = _phase_timer()
         # (1) candidate kNN graph via IVF (exact for small corpora)
         cand = self._bulk_knn_graph(x, K, nprobe)
+        if mark:
+            mark("knn_graph", cand if isinstance(cand, jax.Array) else None)
 
         # (2) own lists + (3) bulk reverse link at level 0
         sel = _bulk_prune_own(jnp.asarray(cand), self._vecs,
                               self._sqnorms, m=self.m,
                               heuristic=self._heuristic,
                               metric=self._imetric)
+        if mark:
+            mark("prune_own", sel)
         self._nbr0 = _bulk_reverse_link(
             self._nbr0, sel, self._vecs, self._sqnorms, m=self.m,
             cap=2 * self.m, metric=self._imetric,
             heuristic=self._heuristic)
+        if mark:
+            mark("reverse_link", self._nbr0)
         # NN-descent refinement: neighbors-of-neighbors candidates,
         # re-prune, re-link (uniform-random corpora gain most — the IVF
         # bootstrap's candidates are probe-local)
@@ -1018,10 +1051,14 @@ class HNSWIndex(BaseIndex):
                 self._nbr0, self._vecs, self._sqnorms, jnp.int32(n),
                 jnp.int32(r), m=self.m, metric=self._imetric,
                 heuristic=self._heuristic)[:n]
+            if mark:
+                mark(f"nn_descent[{r}]", sel_r)
             self._nbr0 = _bulk_reverse_link(
                 jnp.full_like(self._nbr0, -1), sel_r, self._vecs,
                 self._sqnorms, m=self.m, cap=2 * self.m,
                 metric=self._imetric, heuristic=self._heuristic)
+            if mark:
+                mark(f"reverse_link[{r}]", self._nbr0)
         # bridge disconnected components (clustered corpora: the kNN
         # graph has no cross-cluster edges)
         nbr_host = np.array(self._nbr0[:n])
@@ -1029,6 +1066,8 @@ class HNSWIndex(BaseIndex):
                                            bridges=bridges)
         if not np.array_equal(bridged, nbr_host):
             self._nbr0 = self._nbr0.at[:n].set(jnp.asarray(bridged))
+        if mark:
+            mark("bridge_components", self._nbr0)
 
         # (4) upper levels in local coordinates
         top = int(levels.max()) if n else 0
@@ -1069,6 +1108,8 @@ class HNSWIndex(BaseIndex):
                 nbr_l = nbr_l.at[:S].set(jnp.asarray(bridged))
             u["nbr"] = nbr_l
 
+        if mark:
+            mark("upper_levels")
         best = int(levels.argmax()) if n else -1
         self.entry = best
         self.entry_level = int(levels[best]) if n else -1

@@ -136,6 +136,29 @@ def _ivf_post(vals, rows, row_ids, *, metric: str):
     return vals, ids
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def _ivf_search_exact(q, vecs, sqnorms, row_ids, offsets, counts, *,
+                      k: int, metric: str, chunk: int = 131072):
+    """Probe-everything operating point (nprobe ~ nlists): a grouped list
+    scan would cover the whole corpus anyway, and its two [T] int32
+    scalar-prefetch operands exceed the chip's 1 MB SMEM once
+    B*nprobe/qt tiles pass ~100k (measured: nprobe=1024 @ B=16384 fails
+    AOT compile) — so run the exact chunked GEMM scan over the
+    cluster-ordered store instead. Validity is derived from
+    (offsets, counts): delete() shrinks list counts without rewriting
+    every tail slot, so a raw row_ids>=0 mask would resurrect tombstoned
+    rows."""
+    npad_rows = vecs.shape[0]
+    idx = jnp.arange(npad_rows, dtype=jnp.int32)
+    nlists = offsets.shape[0]
+    li = jnp.clip(jnp.searchsorted(offsets, idx, side="right") - 1,
+                  0, nlists - 1)
+    valid = ((idx >= offsets[li]) & (idx < offsets[li] + counts[li])
+             & (row_ids >= 0))
+    return TK.chunked_knn(q, vecs, k, metric=metric, base_sqnorms=sqnorms,
+                          ids=row_ids, valid=valid, chunk=chunk)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "nprobe_pad", "qt"))
 def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
@@ -414,7 +437,24 @@ class IVFFlatIndex(BaseIndex):
                 npad *= 4
             npad = min(max(npad, 4), self.nlists)
             import os
-            if os.environ.get("NEURONDB_TPU_IVF_KERNEL", "grouped") == \
+            from neurondb_tpu.ops.pallas import ivf_scan_grouped as G
+            qt_eff = cfg.ivf_qt or G.auto_qt(q.shape[0], npad, self.nlists)
+            t_max = G.tiles_for(q.shape[0], npad, self.nlists, qt_eff)
+            if npad >= self.nlists or 8 * t_max > (1 << 20):
+                # probe-everything point, or the grouped kernel's [T]
+                # scalar-prefetch tiles would blow the 1 MB SMEM budget
+                # (2 operands x 4 bytes x T, headroom 2x): exact scan.
+                # Chunk caps the [B, chunk] f32 distance block at ~1 GB
+                # (power-of-two so compile shapes stay bucketed).
+                chunk = max(4096, min(131072,
+                                      1 << (28 - max(q.shape[0], 1)
+                                            .bit_length() + 1)))
+                vals, ids = _ivf_search_exact(
+                    q, self._vecs, self._sqnorms, self._ext_ids,
+                    self._offsets, self._counts,
+                    k=min(k, max(self.n, 1)), metric=self.metric,
+                    chunk=chunk)
+            elif os.environ.get("NEURONDB_TPU_IVF_KERNEL", "grouped") == \
                     "grouped":
                 vals, ids = _ivf_search_grouped(
                     q, self.centroids, self._vecs, self._ext_ids,

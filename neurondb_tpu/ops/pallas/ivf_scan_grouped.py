@@ -303,7 +303,7 @@ def _scatter_tuples(q, pos, *, npad: int, qt: int, t_max: int):
 
 
 def prewarm(n_rows: int, d: int, *, nlists: int = 1024, k: int = 10,
-            batch: int = 4096, npad_buckets=(4, 16, 64),
+            batch: int = 4096, npad_buckets=(4, 16, 64, 256),
             metric: str = "sqeuclidean") -> None:
     """Compile the grouped-scan shapes for a corpus of ``n_rows`` BEFORE
     any other device work (Mosaic remote compiles on this backend are

@@ -36,6 +36,7 @@ def main():
     n = int(os.environ.get("NDB_BENCH_N", 1_000_000))
     nq = int(os.environ.get("NDB_BENCH_Q", 1024))
     batch = int(os.environ.get("NDB_BENCH_BATCH", 8192))
+    nlists = int(os.environ.get("NDB_BENCH_NLISTS", min(1024, n)))
     d, k = 128, 10
     x = make_corpus(n, d)
     rng = np.random.default_rng(1)
@@ -81,7 +82,7 @@ def main():
 
     # headline config: n_sub=32 (16x) + OPQ to the recall>=0.95 point
     t0 = time.time()
-    idx = IVFPQIndex(x, nlists=min(1024, n), n_sub=32, seed=0,
+    idx = IVFPQIndex(x, nlists=nlists, n_sub=32, seed=0,
                      keep_originals=True, opq=True)
     build_s = time.time() - t0
     chosen = None
@@ -99,7 +100,7 @@ def main():
     # compression-story config: n_sub=16 (32x, 16 MB codes)
     if os.environ.get("NDB_PQ_SKIP16", "0") != "1":
         t0 = time.time()
-        idx16 = IVFPQIndex(x, nlists=min(1024, n), n_sub=16, seed=0,
+        idx16 = IVFPQIndex(x, nlists=nlists, n_sub=16, seed=0,
                            keep_originals=True)
         build16 = time.time() - t0
         for nprobe, rerank in ((4, 0), (4, 8)):

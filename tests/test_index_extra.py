@@ -69,3 +69,42 @@ def test_validate_detects_corruption(corpus):
     idx._nbr0 = idx._nbr0.at[5, 0].set(10_000_000)
     rep = validate_index(idx)
     assert not rep["valid"]
+
+
+def test_ivf_probe_everything_exact_fallback(rng):
+    """nprobe ~ nlists routes to the exact probe-everything scan on TPU
+    (the grouped kernel's [T] scalar-prefetch operands exceed the 1 MB
+    SMEM at B*nlists/qt > ~100k tiles — measured at nprobe=1024,
+    B=16384). _ivf_search_exact must (a) agree with brute force and
+    (b) derive validity from (offsets, counts): delete() shrinks list
+    counts without rewriting tail slots, so a raw row_ids mask would
+    resurrect tombstones."""
+    import jax.numpy as jnp
+
+    from neurondb_tpu.index import FlatIndex, IVFFlatIndex
+    from neurondb_tpu.index.ivf import _ivf_search_exact
+
+    x = rng.standard_normal((3000, 32)).astype(np.float32)
+    q = x[:64] + 0.001
+    idx = IVFFlatIndex(x, nlists=16, metric="l2", seed=0)
+
+    def exact(k):
+        return _ivf_search_exact(
+            jnp.asarray(q), idx._vecs, idx._sqnorms, idx._ext_ids,
+            idx._offsets, idx._counts, k=k, metric="l2")
+
+    vals, ids = exact(10)
+    fv, fi = FlatIndex(x, metric="l2").search(q, k=10)
+    assert np.array_equal(np.asarray(ids), np.asarray(fi))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(fv),
+                               rtol=1e-4, atol=1e-4)
+
+    # tombstones: the deleted self-rows must not come back
+    drop = np.arange(64)
+    idx.delete(drop)
+    _, ids2 = exact(10)
+    ids2 = np.asarray(ids2)
+    assert not np.isin(ids2, drop).any()
+    alive = np.setdiff1d(np.arange(3000), drop)
+    _, fi2 = FlatIndex(x[alive], metric="l2").search(q, k=10)
+    assert np.array_equal(ids2, alive[np.asarray(fi2)])
