@@ -54,6 +54,7 @@ from neurondb_tpu.ops import sortnet as SN
 from neurondb_tpu.ops import topk as TK
 
 INF = jnp.float32(jnp.finfo(jnp.float32).max)
+INF_NP = float(np.finfo(np.float32).max) * 0.5   # "masked" threshold
 
 
 def _phase_timer():
@@ -614,11 +615,53 @@ def _bulk_reverse_link(nbr0, sel, vecs, sqnorms, *, m: int, cap: int,
     return nbr0
 
 
+@functools.partial(jax.jit, static_argnames=("scan_w", "metric"))
+def _bridge_near(mu, x, x_sq, lab_dense, *, scan_w: int, metric: str):
+    """Per-component nearest OUTSIDE nodes for the bridge phase, on
+    device: mu [Cp, D] component centroids (zero-padded rows), x [N, D],
+    lab_dense [N] dense component label per node (padded mu rows carry
+    label -2, matching nothing). Returns (d [Cp, scan_w],
+    idx [Cp, scan_w]) ascending. Host numpy did this with a [C, N] GEMM
+    + argpartition — 32 s + 13.5 s of the 250k build at C=512; one MXU
+    GEMM + top_k is milliseconds."""
+    Cp = mu.shape[0]
+    if metric == "ip":
+        d = -jnp.dot(mu, x.T, preferred_element_type=jnp.float32)
+    else:
+        d = x_sq[None, :] - 2.0 * jnp.dot(mu, x.T,
+                                          preferred_element_type=jnp.float32)
+    own = lab_dense[None, :] == jnp.arange(Cp, dtype=lab_dense.dtype)[:, None]
+    d = jnp.where(own, INF, d)
+    negv, idx = jax.lax.top_k(-d, scan_w)
+    return -negv, idx
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _strip_selfhits(ids_all, *, K: int):
+    """Bulk-build step 1.5 on device: drop each row's self-hit from its
+    [N, K+1] kNN ids and left-pack to [N, K] (stable). The host numpy
+    version (repeat/cumsum compaction) was ~10-40 s of the 250k build;
+    one stable argsort on the VPU replaces it."""
+    n, w = ids_all.shape
+    rows = jnp.arange(n, dtype=ids_all.dtype)[:, None]
+    stripped = jnp.where(ids_all == rows, -1, ids_all)
+    # stable sort: valid entries first, original order preserved
+    order = jnp.argsort((stripped < 0).astype(jnp.int32), axis=1,
+                        stable=True)
+    out = jnp.take_along_axis(stripped, order, axis=1)[:, :K]
+    return out.astype(jnp.int32)
+
+
 @jax.jit
 def _component_labels(nbr):
     """Connected-component labels of the first N rows of an adjacency
-    array, treating edges as undirected (min-label propagation with a
-    reverse scatter-min per round)."""
+    array, treating edges as undirected: min-label propagation (forward
+    gather-min + reverse scatter-min) with FastSV-style path halving
+    (lab = lab[lab] each round), so convergence is O(log diameter)
+    rounds instead of O(diameter) — the scatter-min is ~0.45 s per round
+    at 250k x 32 edges on this backend (18M updates/s scalar core), and
+    plain propagation needed diameter-many of them (measured 156 s of a
+    ~310 s 250k bulk build in the bridge phase)."""
     N = nbr.shape[0]
     rows = jnp.arange(N, dtype=jnp.int32)
     nb_safe = jnp.where(nbr >= 0, nbr, rows[:, None])
@@ -633,6 +676,11 @@ def _component_labels(nbr):
         fwd = jnp.minimum(lab, jnp.min(lab[nb_safe], axis=1))
         deg = nbr.shape[1]
         rev = fwd.at[nbr_flat].min(jnp.repeat(fwd, deg), mode="drop")
+        # path halving: labels are always existing row ids, so lab[lab]
+        # jumps to the label's own (smaller-or-equal) label; two hops
+        # per round collapse chains geometrically
+        rev = jnp.minimum(rev, rev[rev])
+        rev = jnp.minimum(rev, rev[rev])
         return rev, jnp.any(rev != lab), it + 1
 
     lab, _, _ = jax.lax.while_loop(
@@ -1084,20 +1132,25 @@ class HNSWIndex(BaseIndex):
             u["n"] = S
             if S <= 1:
                 continue
-            xs = jnp.asarray(x[members])
+            # pow2-pad the level to its capacity P so every level (and
+            # every corpus) shares the same compiled shapes: unpadded,
+            # each tiny level cost ~6 s of fresh tunnel compiles
+            # (measured S=66 and S=8 at 6.8/6.5 s each, 250k profile)
+            P = u["nbr"].shape[0]
+            xs_np = np.zeros((P, x.shape[1]), np.float32)
+            xs_np[:S] = x[members]
+            xs = jnp.asarray(xs_np)
             sq = jnp.sum(xs * xs, axis=1)
-            kk = min(self.m + 8, S - 1)
+            kk = self.m + 8
+            validS = jnp.arange(P, dtype=jnp.int32) < S
             _, nn_loc = TK.chunked_knn(
                 xs, xs, kk + 1, metric="ip" if self._imetric == "ip"
-                else "l2", chunk=min(S, 16384))
-            nn_loc = np.asarray(nn_loc)
-            # strip self-hits
-            rows_l = np.arange(S)[:, None]
-            nn_loc = np.where(nn_loc == rows_l, -1, nn_loc)[:, :kk]
+                else "l2", chunk=min(P, 16384), valid=validS)
             sel_l = _bulk_prune_own(
-                jnp.asarray(nn_loc.astype(np.int32)), xs, sq, m=self.m,
-                heuristic=self._heuristic, metric=self._imetric)
-            nbr_l = jnp.full((u["nbr"].shape[0], self.m), -1, jnp.int32)
+                _strip_selfhits(nn_loc.astype(jnp.int32), K=kk), xs, sq,
+                m=self.m, heuristic=self._heuristic, metric=self._imetric)
+            sel_l = jnp.where(validS[:, None], sel_l, -1)   # pad rows
+            nbr_l = jnp.full((P, self.m), -1, jnp.int32)
             nbr_l = _bulk_reverse_link(
                 nbr_l, sel_l, xs, sq, m=self.m, cap=self.m,
                 metric=self._imetric, heuristic=self._heuristic)
@@ -1107,6 +1160,8 @@ class HNSWIndex(BaseIndex):
             if not np.array_equal(bridged, nbr_host):
                 nbr_l = nbr_l.at[:S].set(jnp.asarray(bridged))
             u["nbr"] = nbr_l
+            if mark:
+                mark(f"  level[{l}] S={S}")
 
         if mark:
             mark("upper_levels")
@@ -1136,11 +1191,37 @@ class HNSWIndex(BaseIndex):
         edges to its nearest outside nodes; iterate until connected.
         nbr [N, deg] (numpy, modified copy returned); x [N, D]."""
         import jax.numpy as jnp_
+        mark = _phase_timer()
         nbr = nbr.copy()
         n = x.shape[0]
         x_sq = (x * x).sum(1)
-        for _ in range(32):
-            lab = np.asarray(_component_labels(jnp_.asarray(nbr)))
+
+        def labels_host(nb):
+            # small graphs: numpy min-propagation with path halving —
+            # the device while_loop would compile per exact shape
+            # (~4 s each through the tunnel for the tiny upper levels)
+            lab = np.arange(nb.shape[0])
+            ok = nb >= 0
+            u = np.repeat(np.arange(nb.shape[0]), nb.shape[1])[ok.ravel()]
+            v = nb.ravel()[ok.ravel()]
+            nb_safe = np.where(ok, nb, np.arange(nb.shape[0])[:, None])
+            for _ in range(512):
+                fwd = np.minimum(lab, lab[nb_safe].min(1))
+                np.minimum.at(fwd, v, fwd[u])
+                fwd = np.minimum(fwd, fwd[fwd])
+                fwd = np.minimum(fwd, fwd[fwd])
+                if np.array_equal(fwd, lab):
+                    break
+                lab = fwd
+            return lab
+
+        for rnd_ in range(32):
+            if n <= 8192:
+                lab = labels_host(nbr)
+            else:
+                lab = np.asarray(_component_labels(jnp_.asarray(nbr)))
+            if mark:
+                mark(f"  bridge.labels[{rnd_}]")
             comps, lab_dense = np.unique(lab, return_inverse=True)
             C = len(comps)
             if C <= 1:
@@ -1153,26 +1234,51 @@ class HNSWIndex(BaseIndex):
             mu = np.zeros((C, x.shape[1]), np.float32)
             np.add.at(mu, lab_dense, x)
             mu /= counts[:, None]
-            if metric == "ip":
-                d_all = -(mu @ x.T)                       # [C, N]
-            else:
-                d_all = x_sq[None, :] - 2.0 * (mu @ x.T)  # rank-equiv l2
-            d_all[lab_dense[None, :] ==
-                  np.arange(C)[:, None]] = np.inf         # mask own comp
             # per component: nearest outside nodes of DISTINCT other
             # components (bridging toward only one neighbor cluster
             # leaves greedy descent stuck between far clusters)
             scan_w = min(max(1000, 64 * bridges), n - 1)
-            near = np.argpartition(d_all, scan_w - 1,
-                                   axis=1)[:, :scan_w]
+            if C * n >= (1 << 24):
+                # device path: [C, N] GEMM + top_k on the MXU (the host
+                # numpy version was 32 s GEMM + 13.5 s argpartition at
+                # C=512, N=250k). C pads to pow2 and scan_w to a pow2
+                # bucket so rounds share compilations.
+                Cp = 1 << max(4, int(C - 1).bit_length())
+                sw = min(1 << int(scan_w - 1).bit_length(), n - 1)
+                mu_p = np.zeros((Cp, x.shape[1]), np.float32)
+                mu_p[:C] = mu
+                dn, near = _bridge_near(
+                    jnp_.asarray(mu_p), jnp_.asarray(x),
+                    jnp_.asarray(x_sq),
+                    jnp_.asarray(lab_dense.astype(np.int32)),
+                    scan_w=sw,
+                    metric="ip" if metric == "ip" else "l2")
+                near = np.asarray(near[:C])       # ascending already
+                d_near = np.asarray(dn[:C])
+            else:
+                if metric == "ip":
+                    d_all = -(mu @ x.T)                       # [C, N]
+                else:
+                    d_all = x_sq[None, :] - 2.0 * (mu @ x.T)
+                d_all[lab_dense[None, :] ==
+                      np.arange(C)[:, None]] = np.inf         # own comp
+                near = np.argpartition(d_all, scan_w - 1,
+                                       axis=1)[:, :scan_w]
+                ordr = np.take_along_axis(
+                    d_all, near, axis=1).argsort(axis=1, kind="stable")
+                near = np.take_along_axis(near, ordr, axis=1)
+                d_near = np.take_along_axis(d_all, near, axis=1)
+            if mark:
+                mark(f"  bridge.near[{rnd_}] C={C}")
             for ci in range(C):
                 if ci == main:
                     continue
-                cand = near[ci][np.argsort(d_all[ci, near[ci]])]
+                cand = near[ci]
                 outs = []
                 seen_lab = set()
-                for b in cand:
-                    if not np.isfinite(d_all[ci, b]):
+                for j, b in enumerate(cand):
+                    if not np.isfinite(d_near[ci, j]) or \
+                            d_near[ci, j] >= INF_NP:
                         break
                     lb = lab_dense[b]
                     if lb in seen_lab:
@@ -1198,6 +1304,8 @@ class HNSWIndex(BaseIndex):
                         free = np.where(row < 0)[0]
                         slot = free[0] if len(free) else len(row) - 1
                         nbr[src, slot] = dst
+            if mark:
+                mark(f"  bridge.link[{rnd_}]")
         return nbr
 
     def _bulk_knn_graph(self, x: np.ndarray, K: int,
@@ -1237,19 +1345,33 @@ class HNSWIndex(BaseIndex):
             self._set_router(cents, reps)
         else:
             from neurondb_tpu.index.ivf import IVFFlatIndex
+            mark = _phase_timer()
             nlists = max(64, min(4096, int(2 * np.sqrt(n))))
             ivf = IVFFlatIndex(x, nlists=nlists, metric=metric,
                                seed=self._seed)
-            ids_all = np.empty((n, K + 1), np.int64)
+            if mark:
+                mark("  knn.ivf_build", ivf._vecs)
             batch = 16384
+            # dispatch every sub-batch before the first use (each host
+            # sync costs ~29 ms of tunnel latency and serializes the
+            # device; serving-style pipelining is the same trick as the
+            # IVF headline bench). Results stay ON DEVICE: the self-hit
+            # strip is a jit and the consumer (_bulk_prune_own) is
+            # device-side too, so the [N, K] graph never round-trips.
+            outs = []
             for s in range(0, n, batch):
                 e = min(s + batch, n)
                 qb = x[s:e]
                 if e - s < batch:
                     qb = np.concatenate(
                         [qb, np.repeat(qb[-1:], batch - (e - s), axis=0)])
-                _, ids_b = ivf.search(qb, k=K + 1, nprobe=nprobe)
-                ids_all[s:e] = np.asarray(ids_b)[: e - s]
+                outs.append(ivf.search(qb, k=K + 1, nprobe=nprobe,
+                                       out="device")[1])
+            allj = (jnp.concatenate(outs)[:n] if len(outs) > 1
+                    else outs[0][:n])
+            cand_dev = _strip_selfhits(allj, K=K)
+            if mark:
+                mark("  knn.self_queries", cand_dev)
             # router from the build's own coarse quantizer: one member
             # row per non-empty list
             offs = np.asarray(ivf._offsets)
@@ -1258,6 +1380,7 @@ class HNSWIndex(BaseIndex):
             live = cnts > 0
             reps = rows_dev[offs[live]].astype(np.int64)
             self._set_router(np.asarray(ivf.centroids)[live], reps)
+            return cand_dev
         rows = np.arange(n)[:, None]
         stripped = np.where(ids_all == rows, -1, ids_all)
         # compact the self-hit out so every row keeps K candidates

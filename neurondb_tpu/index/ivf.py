@@ -155,8 +155,12 @@ def _ivf_search_exact(q, vecs, sqnorms, row_ids, offsets, counts, *,
                   0, nlists - 1)
     valid = ((idx >= offsets[li]) & (idx < offsets[li] + counts[li])
              & (row_ids >= 0))
+    # bf16 store -> bf16 x bf16 -> f32 MXU dots (norms stay f32), the
+    # same numeric contract as the grouped kernel's scoring
+    dd = vecs.dtype if vecs.dtype != jnp.float32 else None
     return TK.chunked_knn(q, vecs, k, metric=metric, base_sqnorms=sqnorms,
-                          ids=row_ids, valid=valid, chunk=chunk)
+                          ids=row_ids, valid=valid, chunk=chunk,
+                          dot_dtype=dd)
 
 
 @functools.partial(jax.jit,

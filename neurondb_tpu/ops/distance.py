@@ -156,6 +156,7 @@ def pairwise_distance(
     p: float = 3.0,
     base_sqnorms: Optional[jax.Array] = None,
     precision=jax.lax.Precision.DEFAULT,
+    dot_dtype=None,
 ) -> jax.Array:
     """Distance matrix the MXU way.
 
@@ -167,26 +168,36 @@ def pairwise_distance(
     ``base_sqnorms`` lets callers cache ||x||^2 across queries, the moral
     equivalent of the reference's precomputed norms in batch ops
     (src/vector/vector_batch.c:37-645).
+
+    ``dot_dtype`` (e.g. jnp.bfloat16) casts ONLY the GEMM inputs — norms
+    stay in the incoming precision. With a bf16 base this turns a mixed
+    f32xbf16 dot (XLA promotes to f32, ~4x slower on the MXU) into a
+    bf16xbf16 -> f32 dot, the same contract the fused Pallas kernels use
+    (products of bf16 inputs are exact in f32).
     """
     metric = canonical_metric(metric)
     q = queries
     x = base
+
+    def _dot(a, b):
+        if dot_dtype is not None:
+            a, b = a.astype(dot_dtype), b.astype(dot_dtype)
+        return jnp.dot(a, b, precision=precision,
+                       preferred_element_type=jnp.float32)
+
     if metric in ("l2", "sqeuclidean"):
         qn = jnp.sum(q * q, axis=-1, keepdims=True)                 # [B, 1]
         xn = base_sqnorms if base_sqnorms is not None else jnp.sum(x * x, axis=-1)
-        dots = jnp.dot(q, x.T, precision=precision,
-                       preferred_element_type=jnp.float32)           # [B, N]
+        dots = _dot(q, x.T)                                          # [B, N]
         d2 = jnp.maximum(qn + xn[None, :] - 2.0 * dots, 0.0)
         return d2 if metric == "sqeuclidean" else jnp.sqrt(d2)
     if metric == "ip":
-        return -jnp.dot(q, x.T, precision=precision,
-                        preferred_element_type=jnp.float32)
+        return -_dot(q, x.T)
     if metric == "cosine":
         qn = jnp.linalg.norm(q, axis=-1, keepdims=True)             # [B, 1]
         xn = (jnp.sqrt(base_sqnorms) if base_sqnorms is not None
               else jnp.linalg.norm(x, axis=-1))                      # [N]
-        dots = jnp.dot(q, x.T, precision=precision,
-                       preferred_element_type=jnp.float32)
+        dots = _dot(q, x.T)
         den = jnp.maximum(qn * xn[None, :], 1e-30)
         sim = jnp.where((qn > 0) & (xn[None, :] > 0), dots / den, 0.0)
         return 1.0 - sim

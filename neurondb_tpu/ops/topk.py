@@ -70,6 +70,7 @@ def chunked_knn(
     ids: Optional[jax.Array] = None,      # [N] global ids; default arange
     valid: Optional[jax.Array] = None,    # [N] bool mask (tombstones)
     recall_target: float = 1.0,
+    dot_dtype=None,                       # bf16 GEMM inputs (see distance)
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact k-NN scan without materializing [B, N]: lax.scan over N-chunks,
     GEMM distances per chunk, running top-k merge. Returns (dists [B,k],
@@ -85,14 +86,16 @@ def chunked_knn(
     return _chunked_knn_jit(
         queries, base, base_sqnorms, ids, valid, k=min(k, base.shape[0]),
         metric=D.canonical_metric(metric), chunk=chunk,
-        recall_target=recall_target)
+        recall_target=recall_target,
+        dot_dtype=None if dot_dtype is None else jnp.dtype(dot_dtype).name)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "chunk", "recall_target"))
+    static_argnames=("k", "metric", "chunk", "recall_target", "dot_dtype"))
 def _chunked_knn_jit(queries, base, base_sqnorms, ids, valid, *, k: int,
-                     metric: str, chunk: int, recall_target: float):
+                     metric: str, chunk: int, recall_target: float,
+                     dot_dtype=None):
     B, dims = queries.shape
     N = base.shape[0]
     # Pad N to a multiple of chunk so scan trip count is static.
@@ -123,7 +126,8 @@ def _chunked_knn_jit(queries, base, base_sqnorms, ids, valid, *, k: int,
             xc, ic, vc, sqc = xs
         else:
             (xc, ic, vc), sqc = xs, None
-        d = D.pairwise_distance(queries, xc, metric, base_sqnorms=sqc)
+        d = D.pairwise_distance(queries, xc, metric, base_sqnorms=sqc,
+                                dot_dtype=dot_dtype)
         d = jnp.where(vc[None, :], d, NEG_FILL)
         cv, cpos = topk_smallest(d, k, recall_target=recall_target)
         cids = ic[cpos]

@@ -24,6 +24,19 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Deselect @slow tests unless NDB_RUN_SLOW=1: they rebuild 100k+
+    corpora, which is minutes each on the CPU backend (the TPU numbers
+    they pin are recorded in their docstrings). The default suite stays
+    in the tens of minutes the reference's own TAP ladder targets."""
+    if os.environ.get("NDB_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow (100k+ corpus); NDB_RUN_SLOW=1")
+    for it in items:
+        if "slow" in it.keywords:
+            it.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
