@@ -1215,11 +1215,17 @@ class HNSWIndex(BaseIndex):
                 lab = fwd
             return lab
 
+        lab = None
         for rnd_ in range(32):
-            if n <= 8192:
-                lab = labels_host(nbr)
-            else:
-                lab = np.asarray(_component_labels(jnp_.asarray(nbr)))
+            if lab is None:
+                # full label propagation ONCE; later rounds only ADD
+                # edges, so connectivity updates are exactly the unions
+                # of the added bridges (host union-find, microseconds —
+                # a device label pass is ~25 s/round at 1M)
+                if n <= 8192:
+                    lab = labels_host(nbr)
+                else:
+                    lab = np.asarray(_component_labels(jnp_.asarray(nbr)))
             if mark:
                 mark(f"  bridge.labels[{rnd_}]")
             comps, lab_dense = np.unique(lab, return_inverse=True)
@@ -1270,6 +1276,14 @@ class HNSWIndex(BaseIndex):
                 d_near = np.take_along_axis(d_all, near, axis=1)
             if mark:
                 mark(f"  bridge.near[{rnd_}] C={C}")
+            uf = np.arange(C)
+
+            def find(c):
+                while uf[c] != c:
+                    uf[c] = uf[uf[c]]
+                    c = uf[c]
+                return c
+
             for ci in range(C):
                 if ci == main:
                     continue
@@ -1297,6 +1311,9 @@ class HNSWIndex(BaseIndex):
                     d_in = x_sq[mem][:, None] - 2.0 * (x[mem] @ xb.T)
                 a_rows = mem[np.argmin(d_in, axis=0)]
                 for a, b in zip(a_rows, outs):
+                    ra, rb = find(ci), find(int(lab_dense[b]))
+                    if ra != rb:
+                        uf[max(ra, rb)] = min(ra, rb)
                     for src, dst in ((int(a), int(b)), (int(b), int(a))):
                         row = nbr[src]
                         if dst in row:
@@ -1304,6 +1321,10 @@ class HNSWIndex(BaseIndex):
                         free = np.where(row < 0)[0]
                         slot = free[0] if len(free) else len(row) - 1
                         nbr[src, slot] = dst
+            # fold the unions back into per-node labels for the next
+            # round (exact: added edges are the only connectivity change)
+            roots = np.array([find(c) for c in range(C)])
+            lab = comps[roots][lab_dense]
             if mark:
                 mark(f"  bridge.link[{rnd_}]")
         return nbr
@@ -1347,8 +1368,14 @@ class HNSWIndex(BaseIndex):
             from neurondb_tpu.index.ivf import IVFFlatIndex
             mark = _phase_timer()
             nlists = max(64, min(4096, int(2 * np.sqrt(n))))
+            # bootstrap quantizer only: the candidate graph tolerates a
+            # coarse k-means (NN-descent + the reverse-link prune repair
+            # it), so cap iterations and the kmeans++ sample — the
+            # default-quality build was 53-293 s of the 1M build
+            # depending on slot, ~5x the rest of the phase
             ivf = IVFFlatIndex(x, nlists=nlists, metric=metric,
-                               seed=self._seed)
+                               seed=self._seed, kmeans_iters=10,
+                               sample_cap=131072)
             if mark:
                 mark("  knn.ivf_build", ivf._vecs)
             batch = 16384

@@ -227,22 +227,40 @@ class IVFPQIndex(BaseIndex):
             raise ValueError("opq is defined for l2/cosine (residual "
                              "rotation does not compose with raw ip)")
         self.opq = opq
-        resid = x - np.asarray(self.centroids)[labels]
-        rs = resid if n <= sample_cap else \
-            resid[rng.choice(n, sample_cap, replace=False)]
+        cents_np = np.asarray(self.centroids)
+        if n <= sample_cap:
+            rs = x - cents_np[labels]
+        else:
+            pick = rng.choice(n, sample_cap, replace=False)
+            rs = x[pick] - cents_np[labels[pick]]
         if opq:
             from neurondb_tpu.index.pq import train_opq_rotation
             R, cb = train_opq_rotation(jnp.asarray(rs), n_sub=n_sub,
                                        ksub=self.ksub)
             self.R = R
             self.codebooks = cb
-            codes = np.asarray(pq_encode(cb, jnp.asarray(resid) @ R))
         else:
             self.R = None
             self.codebooks = train_pq_codebook(
                 jnp.asarray(rs), n_sub=n_sub, ksub=self.ksub)
-            codes = np.asarray(pq_encode(self.codebooks,
-                                         jnp.asarray(resid)))
+        # full-corpus encode, chunked over rows: holding the whole
+        # residual matrix (and its rotated copy) on device is 2x5.1 GB
+        # at 10M x 128 — 10M-class corpora are exactly this index's
+        # reason to exist, so the build must stay within one chip's HBM
+        step = 1 << 20
+        codes = np.empty((n, n_sub),
+                         np.uint8 if self.ksub <= 256 else np.int32)
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            rb = x[s:e] - cents_np[labels[s:e]]
+            if e - s < step and n > step:      # one compile shape
+                rb = np.concatenate(
+                    [rb, np.repeat(rb[-1:], step - (e - s), axis=0)])
+            rbj = jnp.asarray(rb)
+            if opq:
+                rbj = rbj @ self.R
+            codes[s:e] = np.asarray(pq_encode(self.codebooks,
+                                              rbj))[: e - s]
 
         # Aligned CSR layout: every list offset is a LIST_ALIGN multiple
         # (uint8 lane alignment for the grouped kernel's code-column

@@ -107,3 +107,25 @@ def test_operator_aliases():
     assert D.canonical_metric("<+>") == "l1"
     with pytest.raises(ValueError):
         D.canonical_metric("nope")
+
+
+def test_pairwise_dot_dtype_bf16_ranking(rng):
+    """dot_dtype=bfloat16 (the bf16-store GEMM contract: products of
+    bf16 inputs are exact in f32) must preserve neighbor ranking vs the
+    f32 path on bf16-representable inputs."""
+    import jax.numpy as jnp
+    from neurondb_tpu.ops import distance as D
+
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    x = rng.standard_normal((500, 64)).astype(np.float32)
+    # make inputs bf16-representable so both paths see the same values
+    q = np.asarray(jnp.asarray(q).astype(jnp.bfloat16).astype(jnp.float32))
+    x = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+    for metric in ("l2", "ip", "cosine"):
+        d32 = np.asarray(D.pairwise_distance(jnp.asarray(q), jnp.asarray(x),
+                                             metric))
+        dbf = np.asarray(D.pairwise_distance(jnp.asarray(q), jnp.asarray(x),
+                                             metric, dot_dtype=jnp.bfloat16))
+        np.testing.assert_allclose(dbf, d32, rtol=2e-3, atol=2e-3)
+        assert np.array_equal(np.argsort(d32, axis=1)[:, :10],
+                              np.argsort(dbf, axis=1)[:, :10])
