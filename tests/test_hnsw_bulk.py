@@ -148,3 +148,28 @@ def test_hnsw_uniform_random_quality_100k(rng):
     rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
                    for a, b in zip(ids, gt)])
     assert rec >= 0.95, rec
+
+
+def test_bridge_many_components_device_path(rng):
+    """A corpus of ~1200 tiny well-separated clusters produces a kNN
+    graph with C*n above the device-bridge threshold (C*n >= 2^24), so
+    the bulk build exercises _bridge_near (MXU GEMM + top_k, pow2-padded
+    C) and the union-find round folding. The bridge's guarantee is full
+    connectivity; navigation quality on a 1200-micro-cluster corpus is
+    inherently limited (the router caps at 256 centroids), so the
+    search bar here is a sanity floor, not the quality bar (that's
+    test_hnsw_uniform_random_quality)."""
+    from neurondb_tpu.index.hnsw import HNSWIndex, _component_labels
+
+    ncl, per, d = 1200, 15, 16
+    centers = rng.standard_normal((ncl, d)).astype(np.float32) * 20.0
+    x = (np.repeat(centers, per, axis=0)
+         + 0.05 * rng.standard_normal((ncl * per, d)).astype(np.float32))
+    n = len(x)
+    idx = HNSWIndex(None, dim=d, m=8, seed=0)
+    idx.build_bulk(x, refine=0, bridges=4)
+    lab = np.asarray(_component_labels(idx._nbr0[:n]))
+    assert len(np.unique(lab)) == 1, "graph must be one component"
+    q = x[::97] + 0.001
+    _, ids = idx.search(q, k=1, ef=128)
+    assert (ids[:, 0] == np.arange(n)[::97]).mean() >= 0.6
