@@ -185,6 +185,9 @@ def main():
     # (index/base.as_batch). Recall below is measured THROUGH this wire,
     # so the operating point stays honest. NDB_WIRE=float32 opts out.
     wire = os.environ.get("NDB_WIRE", "bfloat16")
+    # approximate per-chunk selection for the probe-everything fallback
+    # (uniform corpora): opt-in, recall measured through the same path
+    rt = float(os.environ.get("NDB_RECALL_TARGET", "1.0"))
     if wire == "bfloat16":
         import ml_dtypes
         qpad_warm = qpad_warm.astype(ml_dtypes.bfloat16)
@@ -203,7 +206,7 @@ def main():
     for nprobe in (1, 2, 4, 8, 12, 16, 24, 48, 96, 128, 256):
         if nprobe > nlists:
             break
-        _, ids = index.search(qpad, k=k, nprobe=nprobe)
+        _, ids = index.search(qpad, k=k, nprobe=nprobe, recall_target=rt)
         r = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
         probe_stats.append((nprobe, round(r, 4)))
         if r >= 0.95:
@@ -222,7 +225,7 @@ def main():
     if wire == "bfloat16":
         import ml_dtypes
         qbig = qbig.astype(ml_dtypes.bfloat16)
-    index.search(qbig[:batch], k=k, nprobe=chosen)   # warmup
+    index.search(qbig[:batch], k=k, nprobe=chosen, recall_target=rt)
     samples = []
     for _ in range(3):
         t0 = time.time()
@@ -230,7 +233,8 @@ def main():
         outs = []
         for s in range(0, len(qbig), batch):
             outs.append(index.search(qbig[s:s + batch], k=k,
-                                     nprobe=chosen, out="device"))
+                                     nprobe=chosen, out="device",
+                                     recall_target=rt))
             done += len(qbig[s:s + batch])
         # value fetch, not block_until_ready: the latter returns EARLY
         # through the tunnel (IMPLEMENTATION_NOTES round-3 finding 4);
@@ -240,7 +244,7 @@ def main():
     samples.sort()
     qps = samples[1]
 
-    _, ids = index.search(qpad, k=k, nprobe=chosen)
+    _, ids = index.search(qpad, k=k, nprobe=chosen, recall_target=rt)
     final_recall = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
 
     print(json.dumps({
@@ -257,6 +261,7 @@ def main():
         "probe_sweep": probe_stats,
         "qps_samples": [round(s, 1) for s in samples],
         "query_wire": wire,
+        "recall_target": rt,
         "corpus": "real:" + os.path.basename(real[0]) if real is not None
                   else CORPUS,
         "backend": jax.default_backend(),

@@ -136,9 +136,11 @@ def _ivf_post(vals, rows, row_ids, *, metric: str):
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk",
+                                              "recall_target"))
 def _ivf_search_exact(q, vecs, sqnorms, row_ids, offsets, counts, *,
-                      k: int, metric: str, chunk: int = 131072):
+                      k: int, metric: str, chunk: int = 131072,
+                      recall_target: float = 1.0):
     """Probe-everything operating point (nprobe ~ nlists): a grouped list
     scan would cover the whole corpus anyway, and its two [T] int32
     scalar-prefetch operands exceed the chip's 1 MB SMEM once
@@ -158,9 +160,13 @@ def _ivf_search_exact(q, vecs, sqnorms, row_ids, offsets, counts, *,
     # bf16 store -> bf16 x bf16 -> f32 MXU dots (norms stay f32), the
     # same numeric contract as the grouped kernel's scoring
     dd = vecs.dtype if vecs.dtype != jnp.float32 else None
+    # recall_target < 1.0 selects per chunk with the TPU-native
+    # PartialReduce (lax.approx_min_k, 5.3x faster than XLA TopK at
+    # [16384, 16384] measured) — an opt-in approximate operating point;
+    # the default stays exact (probing all lists = brute force).
     return TK.chunked_knn(q, vecs, k, metric=metric, base_sqnorms=sqnorms,
                           ids=row_ids, valid=valid, chunk=chunk,
-                          dot_dtype=dd)
+                          dot_dtype=dd, recall_target=recall_target)
 
 
 @functools.partial(jax.jit,
@@ -417,7 +423,7 @@ class IVFFlatIndex(BaseIndex):
 
     # ---- search ----
     def search(self, queries, k: int = 10, *, nprobe: Optional[int] = None,
-               out: str = "numpy",
+               out: str = "numpy", recall_target: float = 1.0,
                **kw) -> Tuple[np.ndarray, np.ndarray]:
         """``out="device"`` returns jax arrays without forcing a host
         sync, so a caller can pipeline many batches (each host sync on
@@ -457,7 +463,7 @@ class IVFFlatIndex(BaseIndex):
                     q, self._vecs, self._sqnorms, self._ext_ids,
                     self._offsets, self._counts,
                     k=min(k, max(self.n, 1)), metric=self.metric,
-                    chunk=chunk)
+                    chunk=chunk, recall_target=recall_target)
             elif os.environ.get("NEURONDB_TPU_IVF_KERNEL", "grouped") == \
                     "grouped":
                 vals, ids = _ivf_search_grouped(

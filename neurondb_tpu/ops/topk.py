@@ -10,8 +10,11 @@ host-side for IVF (src/index/ivf_am.c:1722+). On TPU the equivalent is:
   distance matrix is never materialized in HBM.
 
 This module is the correctness oracle and the default execution path;
-``neurondb_tpu.ops.pallas.distance_topk`` fuses the distance epilogue and
-selection into the GEMM for large-N scans.
+the fused Pallas scans (``ops/pallas/ivf_scan_grouped.py``,
+``ops/pallas/ivfpq_scan.py``) fuse distance + selection into the list
+scan for the IVF paths. ``recall_target < 1.0`` switches per-chunk
+selection to the TPU-native PartialReduce (``lax.approx_min_k``),
+measured 5.3x faster than XLA TopK at [16384, 16384].
 """
 
 from __future__ import annotations
