@@ -179,12 +179,16 @@ def main():
     jax.block_until_ready(index._vecs)
     build_s = time.time() - t0
     qpad_warm = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
-    # bf16 query wire: the host->device link is the serving bottleneck
+    # Query wire: the host->device link is the serving bottleneck
     # (~50 MB/s through the tunnel; 8 MB of f32 queries ~ 160 ms of a
-    # 183 ms batch), so queries ship as 2-byte bf16 and upcast on device
-    # (index/base.as_batch). Recall below is measured THROUGH this wire,
-    # so the operating point stays honest. NDB_WIRE=float32 opts out.
-    wire = os.environ.get("NDB_WIRE", "bfloat16")
+    # 183 ms batch). Default is the 1-byte int8 wire (per-query max-abs
+    # scales, device dequant): interleaved same-slot A/B measured 1.77x
+    # the bf16 wire (234k vs 132k median) at unchanged recall@10 0.9505
+    # through the wire; the nprobe sweep below re-measures recall
+    # THROUGH the wire, so if quantization ever cost recall the sweep
+    # self-corrects with a higher nprobe. NDB_WIRE=bfloat16|float32
+    # opt out.
+    wire = os.environ.get("NDB_WIRE", "int8")
     # approximate per-chunk selection for the probe-everything fallback
     # (uniform corpora): opt-in, recall measured through the same path
     rt = float(os.environ.get("NDB_RECALL_TARGET", "1.0"))
@@ -225,17 +229,25 @@ def main():
     if wire == "bfloat16":
         import ml_dtypes
         qbig = qbig.astype(ml_dtypes.bfloat16)
-    index.search(qbig[:batch], k=k, nprobe=chosen, recall_target=rt)
+    elif wire == "int8":
+        from neurondb_tpu.index.base import quantize_queries_int8
+        qbig = quantize_queries_int8(qbig)
+
+    def _slice(qq, s, e):
+        return (qq[0][s:e], qq[1][s:e]) if isinstance(qq, tuple) else qq[s:e]
+    index.search(_slice(qbig, 0, batch), k=k, nprobe=chosen,
+                 recall_target=rt)
     samples = []
     for _ in range(3):
         t0 = time.time()
         done = 0
         outs = []
-        for s in range(0, len(qbig), batch):
-            outs.append(index.search(qbig[s:s + batch], k=k,
+        nbig = len(qbig[0]) if isinstance(qbig, tuple) else len(qbig)
+        for s in range(0, nbig, batch):
+            outs.append(index.search(_slice(qbig, s, s + batch), k=k,
                                      nprobe=chosen, out="device",
                                      recall_target=rt))
-            done += len(qbig[s:s + batch])
+            done += min(batch, nbig - s)
         # value fetch, not block_until_ready: the latter returns EARLY
         # through the tunnel (IMPLEMENTATION_NOTES round-3 finding 4);
         # fetching the LAST output forces every earlier batch (in-order)
