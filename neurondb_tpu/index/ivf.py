@@ -136,6 +136,17 @@ def _ivf_post(vals, rows, row_ids, *, metric: str):
     return vals, ids
 
 
+@functools.partial(jax.jit, static_argnames=("bf16",))
+def _csr_pack(xdev, gather_idx, live, *, bf16: bool):
+    """Pack the corpus into the aligned-CSR layout on device: one row
+    gather + zero-fill of alignment gaps, f32 sqnorms from the f32
+    source, then the bf16 store cast. Replaces a host reorder copy + a
+    second 512 MB f32 upload + a per-list Python copy loop."""
+    xp = jnp.where(live[:, None], xdev[gather_idx], 0.0)
+    sq = jnp.sum(xp * xp, axis=1)
+    return (xp.astype(jnp.bfloat16) if bf16 else xp), sq
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "chunk",
                                               "recall_target"))
 def _ivf_search_exact(q, vecs, sqnorms, row_ids, offsets, counts, *,
@@ -273,7 +284,12 @@ class IVFFlatIndex(BaseIndex):
     LIST_ALIGN = 32   # rows; Mosaic DMA starts must be sublane-aligned
 
     def _build_lists(self, x: np.ndarray) -> None:
-        labels = np.asarray(kmeans_predict(self.centroids, jnp.asarray(x)))
+        # ONE corpus upload: the tunnel moves ~50 MB/s, so the previous
+        # flow's two f32 uploads (predict + reordered copy) were ~20 s
+        # of the 1M build. Predict, CSR-pack, norms, and the bf16 cast
+        # all reuse the same device array.
+        xdev = jnp.asarray(x)
+        labels = np.asarray(kmeans_predict(self.centroids, xdev))
         order = np.argsort(labels, kind="stable")
         counts = np.bincount(labels, minlength=self.nlists).astype(np.int32)
         # Aligned CSR: every list start is a LIST_ALIGN multiple so the
@@ -290,15 +306,13 @@ class IVFFlatIndex(BaseIndex):
         # +PAD_SEG: every per-list segment DMA stays in bounds
         # (ops/pallas/ivf_scan*.py caller contract)
         npad = max(1, -(-total // PAD_SEG) * PAD_SEG) + PAD_SEG
-        xo = x[order]
-        xp = np.zeros((npad, x.shape[1]), np.float32)
         src = np.zeros(self.nlists + 1, np.int64)
         np.cumsum(counts, out=src[1:])
         order_aligned = np.full(npad, -1, np.int64)
-        for lid in range(self.nlists):
-            o, c = offsets[lid], counts[lid]
-            xp[o:o + c] = xo[src[lid]:src[lid] + c]
-            order_aligned[o:o + c] = order[src[lid]:src[lid] + c]
+        if n:
+            tgt = (np.repeat(offsets.astype(np.int64), counts)
+                   + (np.arange(n) - np.repeat(src[:-1], counts)))
+            order_aligned[tgt] = order
         order = order_aligned
         # store bf16 on TPU: halves posting-list DMA traffic; distances
         # accumulate in f32 on the MXU (ranking-equivalent; sqnorms from
@@ -306,9 +320,11 @@ class IVFFlatIndex(BaseIndex):
         self._store_bf16 = (jax.default_backend() == "tpu"
                             and get_config().store_dtype in ("auto",
                                                              "bfloat16"))
-        xj = jnp.asarray(xp)
-        self._sqnorms = jnp.sum(xj * xj, axis=1)
-        self._vecs = xj.astype(jnp.bfloat16) if self._store_bf16 else xj
+        live = order >= 0
+        self._vecs, self._sqnorms = _csr_pack(
+            xdev, jnp.asarray(np.where(live, order, 0).astype(np.int32)),
+            jnp.asarray(live),
+            bf16=self._store_bf16)
         self._row_ids = jnp.asarray(order.astype(np.int32))
         # device-resident external-id map (CSR row -> user id): the hot
         # search path must emit final ids without eager host-side mapping

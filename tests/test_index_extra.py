@@ -96,8 +96,11 @@ def test_ivf_probe_everything_exact_fallback(rng):
     vals, ids = exact(10)
     fv, fi = FlatIndex(x, metric="l2").search(q, k=10)
     assert np.array_equal(np.asarray(ids), np.asarray(fi))
+    # near-zero self-distances carry f32 GEMM-expansion cancellation
+    # noise (||q||^2+||x||^2-2qx with norms ~32 -> abs error ~1e-3 on
+    # sqrt at d~5e-3); ranking is asserted exactly above
     np.testing.assert_allclose(np.asarray(vals), np.asarray(fv),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-3, atol=2e-3)
 
     # tombstones: the deleted self-rows must not come back
     drop = np.arange(64)
