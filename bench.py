@@ -187,7 +187,7 @@ def main():
     # through the wire; the nprobe sweep below re-measures recall
     # THROUGH the wire, so if quantization ever cost recall the sweep
     # self-corrects with a higher nprobe. NDB_WIRE=bfloat16|float32
-    # opt out.
+    # opt out; NDB_WIRE=int4 opts into the packed half-byte wire.
     wire = os.environ.get("NDB_WIRE", "int8")
     # approximate per-chunk selection for the probe-everything fallback
     # (uniform corpora): opt-in, recall measured through the same path
@@ -195,6 +195,12 @@ def main():
     if wire == "bfloat16":
         import ml_dtypes
         qpad_warm = qpad_warm.astype(ml_dtypes.bfloat16)
+    elif wire == "int8":
+        from neurondb_tpu.index.base import quantize_queries_int8
+        qpad_warm = quantize_queries_int8(qpad_warm)
+    elif wire == "int4":
+        from neurondb_tpu.index.base import quantize_queries_int4
+        qpad_warm = quantize_queries_int4(qpad_warm)
     index.search(qpad_warm, k=k, nprobe=1)      # warm (kernel prewarmed)
 
     # All searches use one batch shape: on this backend each new kernel
@@ -232,6 +238,9 @@ def main():
     elif wire == "int8":
         from neurondb_tpu.index.base import quantize_queries_int8
         qbig = quantize_queries_int8(qbig)
+    elif wire == "int4":
+        from neurondb_tpu.index.base import quantize_queries_int4
+        qbig = quantize_queries_int4(qbig)
 
     def _slice(qq, s, e):
         return (qq[0][s:e], qq[1][s:e]) if isinstance(qq, tuple) else qq[s:e]

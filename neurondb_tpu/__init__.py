@@ -50,7 +50,10 @@ from neurondb_tpu.index import (  # noqa: F401
     QuantizedFlatIndex,
     RerankReadyIndex,
 )
-from neurondb_tpu.index.base import quantize_queries_int8  # noqa: F401
+from neurondb_tpu.index.base import (  # noqa: F401
+    quantize_queries_int4,
+    quantize_queries_int8,
+)
 from neurondb_tpu.store import VectorStore  # noqa: F401
 
 __all__ = [
@@ -71,6 +74,7 @@ __all__ = [
     "pairwise_distance",
     "topk_smallest",
     "merge_topk",
+    "quantize_queries_int4",
     "quantize_queries_int8",
     "FlatIndex",
     "QuantizedFlatIndex",

@@ -96,6 +96,15 @@ def as_batch(queries) -> Tuple[jax.Array, bool]:
         if q.ndim == 1:
             return q[None, :], True
         return q, False
+    if (isinstance(queries, tuple) and len(queries) == 2
+            and getattr(queries[0], "dtype", None) is not None
+            and np.dtype(queries[0].dtype) == np.uint8):
+        # packed int4 wire: two offset-8 nibbles per byte, 0.5 B/dim
+        codes, scales = queries
+        q = _dequant_int4(jnp.asarray(codes), jnp.asarray(scales))
+        if q.ndim == 1:
+            return q[None, :], True
+        return q, False
     if (not isinstance(queries, jax.Array)
             and getattr(queries, "dtype", None) is not None
             and np.dtype(queries.dtype).itemsize == 2
@@ -114,6 +123,36 @@ def _dequant_int8(codes: jax.Array, scales: jax.Array) -> jax.Array:
     if s.ndim == codes.ndim - 1:
         s = s[..., None]
     return codes.astype(jnp.float32) * s
+
+
+@jax.jit
+def _dequant_int4(codes: jax.Array, scales: jax.Array) -> jax.Array:
+    lo = (codes & 0xF).astype(jnp.float32) - 8.0
+    hi = (codes >> 4).astype(jnp.float32) - 8.0
+    q = jnp.stack([lo, hi], axis=-1).reshape(*codes.shape[:-1],
+                                             codes.shape[-1] * 2)
+    s = scales.astype(jnp.float32)
+    if s.ndim == q.ndim - 1:
+        s = s[..., None]
+    return q * s
+
+
+def quantize_queries_int4(q: np.ndarray):
+    """Client-side helper for the packed int4 wire: per-query max-abs
+    scales over 7 levels, two dims per byte (even dim in the low
+    nibble). Returns (packed uint8 [B, D//2], scales f32 [B, 1]) for
+    as_batch. D must be even. Half the wire bytes of the int8 wire;
+    coarser quantization — measure recall through the wire and
+    compensate with nprobe."""
+    q = np.asarray(q, np.float32)
+    if q.shape[-1] % 2:
+        raise ValueError("int4 wire requires an even dimension")
+    sc = np.abs(q).max(axis=-1, keepdims=True) / 7.0
+    sc = np.maximum(sc, 1e-30)
+    codes = (np.clip(np.round(q / sc), -7, 7) + 8).astype(np.uint8)
+    lo, hi = codes[..., 0::2], codes[..., 1::2]
+    packed = lo | (hi << 4)
+    return packed, sc.astype(np.float32)
 
 
 def quantize_queries_int8(q: np.ndarray):

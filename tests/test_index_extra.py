@@ -133,3 +133,41 @@ def test_int8_query_wire(rng):
     c, s = quantize_queries_int8(q[0])
     _, one = idx.search((c, s[0]), k=5, nprobe=16)
     assert one.shape == (5,)
+
+
+def test_int4_query_wire(rng):
+    """The packed half-byte wire: two offset-8 nibbles per byte,
+    per-query max-abs scales over 7 levels. Dequantization must invert
+    the packing exactly, and end-to-end recall on an easy corpus must
+    survive the coarser grid."""
+    from neurondb_tpu.index import FlatIndex, IVFFlatIndex
+    from neurondb_tpu.index.base import (_dequant_int4,
+                                         quantize_queries_int4)
+
+    q = rng.standard_normal((64, 32)).astype(np.float32)
+    codes, sc = quantize_queries_int4(q)
+    assert codes.shape == (64, 16) and codes.dtype == np.uint8
+    deq = np.asarray(_dequant_int4(codes, sc))
+    # exact reconstruction of the quantization grid: |err| <= scale/2
+    assert np.all(np.abs(deq - q) <= sc / 2 + 1e-6)
+
+    # End-to-end contract: perfect self-hit, and recall within a
+    # bounded delta of the f32 wire at the same nprobe. On gaussian
+    # random data (concentrated distance gaps — the worst case) the
+    # 15-level grid measures ~0.87 vs 1.0 at 128-d; clients compensate
+    # with nprobe, as with the int8 wire.
+    x = rng.standard_normal((5000, 128)).astype(np.float32)
+    q = x[:64] + 0.001
+    idx = IVFFlatIndex(x, nlists=16, seed=0)
+    _, gt = FlatIndex(x).search(q, k=10)
+    _, ids = idx.search(quantize_queries_int4(q), k=10, nprobe=16)
+    ids, gt = np.asarray(ids), np.asarray(gt)
+    assert np.array_equal(ids[:, 0], np.arange(64))  # self-hits exact
+    _, f32_ids = idx.search(q, k=10, nprobe=16)
+    rec4 = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                    for a, b in zip(ids, gt)])
+    rec32 = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                     for a, b in zip(np.asarray(f32_ids), gt)])
+    assert rec4 >= rec32 - 0.15, (rec4, rec32)
+    with pytest.raises(ValueError):
+        quantize_queries_int4(q[:, :31])
