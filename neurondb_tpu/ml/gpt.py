@@ -1,0 +1,395 @@
+"""GPT-2-architecture causal LM — HF GPT2LMHeadModel-weight compatible.
+
+Rebuilds the reference's *local* completion runtime: NeuronDB routes
+``ndb_llm_complete`` to the "huggingface-local" provider
+(NeuronDB/src/llm/llm_router.c:66-95), whose GPU implementation is the
+transformer inference kernels in
+NeuronDB/src/gpu/cuda/gpu_hf_kernels.cu (embedding/attention/layernorm/
+gelu behind the ``hf_complete`` vtable entry,
+include/neurondb_gpu_backend.h hf_* rows). TPU-first design, not a
+kernel-by-kernel translation:
+
+- **Prefill** is one batched forward — every matmul is an [B*S, H] MXU
+  GEMM, attention is causal softmax(QK^T)V with f32 accumulation.
+- **Decode** is a single jitted ``lax.scan`` over a static-shape KV
+  cache ``[B, heads, P, dh]`` per layer (dynamic_update_slice at the
+  step position, mask-bounded attention) — one dispatch for the whole
+  generation, no per-token host round-trips and no dynamic shapes.
+- Sampling (greedy / temperature / top-k / top-p) runs on device inside
+  the same scan; after an EOS is emitted a row keeps emitting EOS.
+
+Weight parity: ``params_from_hf_state_dict`` maps GPT2LMHeadModel state
+dicts (HF Conv1D stores [in, out] — loaded untransposed; lm_head is
+tied to wte). Asserted against transformers' GPT2LMHeadModel on random
+init in tests/test_gpt.py, the same zero-egress protocol as ml/bert.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = jnp.finfo(jnp.float32).min
+
+
+def init_gpt_params(key, *, vocab_size=50257, hidden=768, layers=12,
+                    heads=12, max_len=1024, ff: Optional[int] = None) -> Dict:
+    ff = 4 * hidden if ff is None else ff
+    ks = jax.random.split(key, 2 + layers)
+    std = 0.02
+    rnd = lambda k, shape: jax.random.normal(k, shape) * std  # noqa: E731
+    p: Dict = {
+        "wte": rnd(ks[0], (vocab_size, hidden)),
+        "wpe": rnd(ks[1], (max_len, hidden)),
+        "ln_f": {"g": jnp.ones(hidden), "b": jnp.zeros(hidden)},
+        "blocks": [],
+    }
+    for i in range(layers):
+        k = jax.random.split(ks[2 + i], 4)
+        p["blocks"].append({
+            "ln1": {"g": jnp.ones(hidden), "b": jnp.zeros(hidden)},
+            "w_qkv": rnd(k[0], (hidden, 3 * hidden)),
+            "b_qkv": jnp.zeros(3 * hidden),
+            "w_o": rnd(k[1], (hidden, hidden)), "b_o": jnp.zeros(hidden),
+            "ln2": {"g": jnp.ones(hidden), "b": jnp.zeros(hidden)},
+            "w_fc": rnd(k[2], (hidden, ff)), "b_fc": jnp.zeros(ff),
+            "w_pr": rnd(k[3], (ff, hidden)), "b_pr": jnp.zeros(hidden),
+        })
+    return p
+
+
+def _ln(x, g, b, eps=1e-5):                     # GPT-2 LayerNorm eps
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _gelu(x):                                   # HF "gelu_new" (tanh approx)
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _split_heads(x, heads):
+    B, S, H = x.shape
+    return x.reshape(B, S, heads, H // heads).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("heads",))
+def gpt_logits(params: Dict, ids: jax.Array, *, heads: int,
+               lens: Optional[jax.Array] = None) -> jax.Array:
+    """Full causal forward: ids [B, S] -> logits [B, S, V].
+
+    ``lens`` marks LEFT-padded prompts: row b's valid tokens occupy
+    positions [S - lens[b], S); pads are masked out of attention and
+    position ids count valid tokens only (0..len-1), matching HF's
+    attention_mask + derived position_ids convention."""
+    B, S = ids.shape
+    if lens is None:
+        valid = jnp.ones((B, S), bool)
+        pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    else:
+        valid = jnp.arange(S)[None, :] >= (S - lens)[:, None]
+        pos = jnp.clip(jnp.cumsum(valid, axis=1) - 1, 0)
+    x = params["wte"][ids] + params["wpe"][pos]
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    mask = causal[None, None] & valid[:, None, None, :]
+    dh = x.shape[-1] // heads
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    for blk in params["blocks"]:
+        h = _ln(x, blk["ln1"]["g"], blk["ln1"]["b"])
+        qkv = h @ blk["w_qkv"] + blk["b_qkv"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask, s, _NEG)
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, vh,
+                       preferred_element_type=jnp.float32)
+        att = o.transpose(0, 2, 1, 3).reshape(B, S, heads * dh)
+        x = x + att @ blk["w_o"] + blk["b_o"]
+        h = _ln(x, blk["ln2"]["g"], blk["ln2"]["b"])
+        x = x + _gelu(h @ blk["w_fc"] + blk["b_fc"]) @ blk["w_pr"] \
+            + blk["b_pr"]
+    x = _ln(x, params["ln_f"]["g"], params["ln_f"]["b"])
+    return x @ params["wte"].T                   # tied lm head
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode
+# ---------------------------------------------------------------------------
+
+def _prefill(params, ids, lens, heads, cache_len):
+    """Forward over the prompt, returning per-layer KV caches padded to
+    ``cache_len`` and the last valid token's hidden logits."""
+    B, S = ids.shape
+    valid = jnp.arange(S)[None, :] >= (S - lens)[:, None]
+    pos = jnp.clip(jnp.cumsum(valid, axis=1) - 1, 0)
+    x = params["wte"][ids] + params["wpe"][pos]
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    mask = causal[None, None] & valid[:, None, None, :]
+    dh = x.shape[-1] // heads
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    ks, vs = [], []
+    for blk in params["blocks"]:
+        h = _ln(x, blk["ln1"]["g"], blk["ln1"]["b"])
+        qkv = h @ blk["w_qkv"] + blk["b_qkv"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
+        pad = ((0, 0), (0, 0), (0, cache_len - S), (0, 0))
+        ks.append(jnp.pad(kh, pad))
+        vs.append(jnp.pad(vh, pad))
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask, s, _NEG)
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, vh,
+                       preferred_element_type=jnp.float32)
+        att = o.transpose(0, 2, 1, 3).reshape(B, S, heads * dh)
+        x = x + att @ blk["w_o"] + blk["b_o"]
+        h = _ln(x, blk["ln2"]["g"], blk["ln2"]["b"])
+        x = x + _gelu(h @ blk["w_fc"] + blk["b_fc"]) @ blk["w_pr"] \
+            + blk["b_pr"]
+    x = _ln(x, params["ln_f"]["g"], params["ln_f"]["b"])
+    logits_last = x[:, -1] @ params["wte"].T
+    cache = {"k": ks, "v": vs}
+    return logits_last, cache
+
+
+def _decode_step(params, cache, token, step, S, lens, heads):
+    """One-token forward attending to the cache. ``step`` counts decoded
+    tokens so the new KV lands at index S + step; key j is visible iff
+    j >= S - len (prompt region, left-padded) or S <= j <= S + step."""
+    B = token.shape[0]
+    pos = lens + step                               # per-row position id
+    x = params["wte"][token] + params["wpe"][pos]   # [B, H]
+    H = x.shape[-1]
+    dh = H // heads
+    scale = 1.0 / jnp.sqrt(jnp.float32(dh))
+    P = cache["k"][0].shape[2]
+    j = jnp.arange(P)
+    visible = ((j[None, :] >= (S - lens)[:, None]) & (j[None, :] <= S + step))
+    new_k, new_v = [], []
+    for li, blk in enumerate(params["blocks"]):
+        h = _ln(x, blk["ln1"]["g"], blk["ln1"]["b"])
+        qkv = h @ blk["w_qkv"] + blk["b_qkv"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qh = q.reshape(B, heads, dh)
+        kh = k.reshape(B, heads, 1, dh)
+        vh = v.reshape(B, heads, 1, dh)
+        ck = jax.lax.dynamic_update_slice(cache["k"][li], kh,
+                                          (0, 0, S + step, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"][li], vh,
+                                          (0, 0, S + step, 0))
+        new_k.append(ck)
+        new_v.append(cv)
+        s = jnp.einsum("bhd,bhkd->bhk", qh, ck,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(visible[:, None, :], s, _NEG)
+        a = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhk,bhkd->bhd", a, cv,
+                       preferred_element_type=jnp.float32)
+        att = o.reshape(B, H)
+        x = x + att @ blk["w_o"] + blk["b_o"]
+        h = _ln(x, blk["ln2"]["g"], blk["ln2"]["b"])
+        x = x + _gelu(h @ blk["w_fc"] + blk["b_fc"]) @ blk["w_pr"] \
+            + blk["b_pr"]
+    x = _ln(x, params["ln_f"]["g"], params["ln_f"]["b"])
+    logits = x @ params["wte"].T
+    return logits, {"k": new_k, "v": new_v}
+
+
+def _sample(logits, key, temperature, top_k, top_p):
+    """Greedy when temperature <= 0, else filtered categorical. top_k is
+    static (0 = off); top_p in (0, 1) keeps the smallest prefix of the
+    sorted distribution whose mass reaches p (always >= 1 token)."""
+    if top_k:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, _NEG, logits)
+    greedy = jnp.argmax(logits, axis=-1)
+
+    def sampled():
+        lg = logits / jnp.maximum(temperature, 1e-6)
+        srt = jnp.sort(lg, axis=-1)[..., ::-1]
+        pr = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(pr, axis=-1)
+        keep = (cum - pr) < top_p                   # first token always kept
+        cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        lg = jnp.where(lg < cutoff, _NEG, lg)
+        return jax.random.categorical(key, lg, axis=-1)
+
+    return jnp.where(temperature <= 0.0, greedy, sampled())
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "max_new", "top_k",
+                                             "cache_len", "eos_id"))
+def generate_ids(params: Dict, ids: jax.Array, lens: jax.Array,
+                 key: jax.Array, *, heads: int, max_new: int,
+                 cache_len: int, temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0,
+                 eos_id: int = -1) -> Tuple[jax.Array, jax.Array]:
+    """ids [B, S] LEFT-padded prompts (lens [B] valid suffix lengths) ->
+    (tokens [B, max_new], n_valid [B]). One prefill + one lax.scan; rows
+    that emit ``eos_id`` keep emitting it (n_valid counts through the
+    first eos)."""
+    B, S = ids.shape
+    logits0, cache = _prefill(params, ids, lens, heads, cache_len)
+    temperature = jnp.float32(temperature)
+    top_p = jnp.float32(top_p)
+
+    def step(carry, k_step):
+        logits, cache, done, i = carry
+        tok = _sample(logits, k_step, temperature, top_k, top_p)
+        tok = jnp.where(done, eos_id, tok)
+        done = done | (tok == eos_id)
+        logits, cache = _decode_step(params, cache, tok, i, S, lens, heads)
+        return (logits, cache, done, i + 1), tok
+
+    keys = jax.random.split(key, max_new)
+    done0 = jnp.zeros(B, bool)
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (logits0, cache, done0, jnp.int32(0)), keys)
+    toks = toks.T                                   # [B, max_new]
+    before_eos = jnp.cumsum((toks == eos_id).astype(jnp.int32), axis=1) \
+        <= (1 if eos_id >= 0 else 0)
+    n_valid = jnp.sum(before_eos, axis=1) if eos_id >= 0 \
+        else jnp.full(B, max_new)
+    return toks, n_valid
+
+
+# ---------------------------------------------------------------------------
+# HF weight mapping (GPT2LMHeadModel / GPT2Model state dicts)
+# ---------------------------------------------------------------------------
+
+def params_from_hf_state_dict(state: Dict[str, np.ndarray]) -> Dict:
+    """HF Conv1D weights are stored [in, out] — loaded untransposed;
+    ``lm_head.weight`` is tied to wte and skipped; the causal-mask
+    buffers (attn.bias / attn.masked_bias) are dropped."""
+    flat: Dict[str, np.ndarray] = {}
+    nblk = 0
+    for name, arr in state.items():
+        if name.startswith("transformer."):
+            name = name[len("transformer."):]
+        if name == "lm_head.weight":   # tied to wte
+            continue                   # (mask buffers drop via the key map)
+        a = np.asarray(arr)
+        if name in ("wte.weight", "wpe.weight"):
+            flat[name.split(".")[0]] = a
+        elif name.startswith("ln_f."):
+            flat["ln_f." + ("g" if name.endswith("weight") else "b")] = a
+        elif name.startswith("h."):
+            _, i, rest = name.split(".", 2)
+            nblk = max(nblk, int(i) + 1)
+            key = {
+                "ln_1.weight": "ln1.g", "ln_1.bias": "ln1.b",
+                "ln_2.weight": "ln2.g", "ln_2.bias": "ln2.b",
+                "attn.c_attn.weight": "w_qkv", "attn.c_attn.bias": "b_qkv",
+                "attn.c_proj.weight": "w_o", "attn.c_proj.bias": "b_o",
+                "mlp.c_fc.weight": "w_fc", "mlp.c_fc.bias": "b_fc",
+                "mlp.c_proj.weight": "w_pr", "mlp.c_proj.bias": "b_pr",
+            }.get(rest)
+            if key is not None:
+                flat[f"h.{i}.{key}"] = a
+    p: Dict = {
+        "wte": jnp.asarray(flat["wte"]),
+        "wpe": jnp.asarray(flat["wpe"]),
+        "ln_f": {"g": jnp.asarray(flat["ln_f.g"]),
+                 "b": jnp.asarray(flat["ln_f.b"])},
+        "blocks": [],
+    }
+    for i in range(nblk):
+        blk = {}
+        for t in ("w_qkv b_qkv w_o b_o w_fc b_fc w_pr b_pr".split()):
+            blk[t] = jnp.asarray(flat[f"h.{i}.{t}"])
+        for ln in ("ln1", "ln2"):
+            blk[ln] = {"g": jnp.asarray(flat[f"h.{i}.{ln}.g"]),
+                       "b": jnp.asarray(flat[f"h.{i}.{ln}.b"])}
+        p["blocks"].append(blk)
+    return p
+
+
+def load_gpt_npz(path: str) -> Dict:
+    data = np.load(path)
+    return params_from_hf_state_dict({k: data[k] for k in data.files})
+
+
+# ---------------------------------------------------------------------------
+# service-facing wrapper
+# ---------------------------------------------------------------------------
+
+def _pow2_at_least(n: int, floor: int = 64) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
+class GPT2LM:
+    """Tokenizer + params + jitted generate, the local ``complete``
+    engine. ``from_dir`` loads a scripts/export_hf.py --gpt export
+    (weights.npz + vocab.json + merges.txt + config.json)."""
+
+    def __init__(self, params: Dict, tokenizer, heads: int,
+                 eos_id: Optional[int] = None):
+        self.params = params
+        self.tok = tokenizer
+        self.heads = heads
+        self.eos_id = tokenizer.eos_id if eos_id is None else eos_id
+        self.max_len = int(params["wpe"].shape[0])
+
+    @classmethod
+    def from_dir(cls, path: str) -> "GPT2LM":
+        import json
+        import os
+        from neurondb_tpu.ml.bpe import BPETokenizer
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        tok = BPETokenizer.from_dir(path)
+        params = load_gpt_npz(os.path.join(path, "weights.npz"))
+        return cls(params, tok, heads=int(cfg["heads"]))
+
+    @classmethod
+    def random_init(cls, *, vocab_size=257, hidden=64, layers=2, heads=2,
+                    max_len=256, seed=0) -> "GPT2LM":
+        from neurondb_tpu.ml.bpe import BPETokenizer
+        tok = BPETokenizer.byte_fallback()
+        params = init_gpt_params(jax.random.PRNGKey(seed),
+                                 vocab_size=max(vocab_size, len(tok)),
+                                 hidden=hidden, layers=layers, heads=heads,
+                                 max_len=max_len)
+        return cls(params, tok, heads=heads)
+
+    def complete(self, prompt: str, *, max_tokens: int = 64,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0, seed: int = 0) -> str:
+        ids = self.tok.encode(prompt)[-(self.max_len - max_tokens):]
+        return self.complete_batch(
+            [ids], max_tokens=max_tokens, temperature=temperature,
+            top_k=top_k, top_p=top_p, seed=seed)[0]
+
+    def complete_batch(self, id_lists: List[List[int]], *,
+                       max_tokens: int = 64, temperature: float = 0.0,
+                       top_k: int = 0, top_p: float = 1.0,
+                       seed: int = 0) -> List[str]:
+        B = len(id_lists)
+        lens = np.asarray([max(len(x), 1) for x in id_lists], np.int32)
+        S = _pow2_at_least(int(lens.max()))
+        pad_id = self.eos_id if self.eos_id is not None else 0
+        ids = np.full((B, S), pad_id, np.int32)
+        for b, row in enumerate(id_lists):
+            row = row or [pad_id]
+            ids[b, S - len(row):] = row
+        cache_len = S + _pow2_at_least(max_tokens, 32)
+        toks, n_valid = generate_ids(
+            self.params, jnp.asarray(ids), jnp.asarray(lens),
+            jax.random.PRNGKey(seed), heads=self.heads,
+            max_new=max_tokens, cache_len=cache_len,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            eos_id=-1 if self.eos_id is None else int(self.eos_id))
+        toks = np.asarray(toks)
+        n_valid = np.asarray(n_valid)
+        return [self.tok.decode(toks[b, :n_valid[b]]) for b in range(B)]

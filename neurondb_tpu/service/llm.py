@@ -54,17 +54,22 @@ class BaseProvider:
 
 
 class LocalProvider(BaseProvider):
-    """On-device encoder for embed/rerank (the huggingface-local analog).
-    Completion is extractive (returns the most relevant sentences of the
-    prompt context) and is explicitly labeled as such."""
+    """On-device runtime (the huggingface-local analog,
+    llm_router.c:66-95). embed/rerank run the in-repo BERT-family
+    encoder; ``complete`` runs the in-repo GPT-2 causal LM
+    (ml/gpt.GPT2LM — KV-cache lax.scan decode) when weights are
+    available (``NEURONDB_TPU_GPT_WEIGHTS`` export dir, or an ``lm``
+    passed in), else falls back to an extractive summary and says so."""
 
     name = "local"
 
-    def __init__(self, dim: int = 256, seed: int = 0):
+    def __init__(self, dim: int = 256, seed: int = 0, lm=None):
         self._dim = dim
         self._seed = seed
         self._embedder = None
         self._cross = None
+        self._lm = lm
+        self._lm_checked = lm is not None
 
     def _ensure(self):
         if self._embedder is None:
@@ -90,8 +95,27 @@ class LocalProvider(BaseProvider):
         self._ensure()
         return self._cross(query, list(docs))
 
+    def _ensure_lm(self):
+        if not self._lm_checked:
+            self._lm_checked = True
+            import os
+            wdir = os.environ.get("NEURONDB_TPU_GPT_WEIGHTS")
+            if wdir and os.path.isfile(os.path.join(wdir, "weights.npz")):
+                from neurondb_tpu.ml.gpt import GPT2LM
+                self._lm = GPT2LM.from_dir(wdir)
+        return self._lm
+
     def complete(self, prompt: str, **kw) -> str:
-        # extractive fallback: no generative model is bundled
+        lm = self._ensure_lm()
+        if lm is not None:
+            return lm.complete(
+                prompt,
+                max_tokens=int(kw.get("max_tokens", 64)),
+                temperature=float(kw.get("temperature", 0.0)),
+                top_k=int(kw.get("top_k", 0)),
+                top_p=float(kw.get("top_p", 1.0)),
+                seed=int(kw.get("seed", 0)))
+        # extractive fallback: no generative weights are configured
         sents = [s.strip() for s in prompt.replace("\n", ". ").split(".")
                  if s.strip()]
         head = sents[-3:] if len(sents) > 3 else sents

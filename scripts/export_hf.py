@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--vision", action="store_true",
                     help="export a ViTModel (google/vit-base-class) for "
                          "ml.vision.VisionEncoder.from_npz")
+    ap.add_argument("--gpt", action="store_true",
+                    help="export a GPT2LMHeadModel (+ BPE vocab.json/"
+                         "merges.txt) for ml.gpt.GPT2LM.from_dir; point "
+                         "NEURONDB_TPU_GPT_WEIGHTS at the output dir")
     args = ap.parse_args()
 
     import numpy as np
@@ -42,6 +46,8 @@ def main() -> None:
         from transformers import AutoModelForSequenceClassification as M
     elif args.vision:
         from transformers import ViTModel as M
+    elif args.gpt:
+        from transformers import GPT2LMHeadModel as M
     else:
         M = AutoModel
 
@@ -62,6 +68,25 @@ def main() -> None:
                        "image_size": cfg.image_size,
                        "model": args.model}, f, indent=2)
         print("exported vision", args.model, "->", args.out)
+        return
+    if args.gpt:
+        tok = AutoTokenizer.from_pretrained(args.model, use_fast=False)
+        vocab = tok.get_vocab()
+        with open(os.path.join(args.out, "vocab.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(vocab, f, ensure_ascii=False)
+        with open(os.path.join(args.out, "merges.txt"), "w",
+                  encoding="utf-8") as f:
+            f.write("#version: 0.2\n")
+            for pair, _rank in sorted(tok.bpe_ranks.items(),
+                                      key=lambda kv: kv[1]):
+                f.write(f"{pair[0]} {pair[1]}\n")
+        with open(os.path.join(args.out, "config.json"), "w") as f:
+            json.dump({"hidden": cfg.n_embd, "heads": cfg.n_head,
+                       "layers": cfg.n_layer,
+                       "max_len": int(cfg.n_positions),
+                       "model": args.model}, f, indent=2)
+        print("exported gpt", args.model, "->", args.out)
         return
     tok = AutoTokenizer.from_pretrained(args.model)
 
