@@ -82,11 +82,12 @@ class BPETokenizer:
         merges: List[Tuple[str, str]] = []
         with open(merges_path, encoding="utf-8") as f:
             for line in f:
-                line = line.rstrip("\n")
-                if not line or line.startswith("#version"):
+                if line.startswith("#version"):
                     continue
-                a, b = line.split(" ")
-                merges.append((a, b))
+                parts = line.split()  # tolerate trailing/extra whitespace, as HF does
+                if len(parts) != 2:
+                    continue
+                merges.append((parts[0], parts[1]))
         return cls(vocab, merges)
 
     @classmethod
@@ -145,10 +146,29 @@ class BPETokenizer:
         return [self.vocab.get(p, unk) for p in self.tokenize(text)]
 
     def decode(self, ids: Iterable[int]) -> str:
-        text = "".join(self.inv_vocab.get(int(i), "") for i in ids
-                       if self.eos_id is None or int(i) != self.eos_id)
-        data = bytes(self._u2b[c] for c in text if c in self._u2b)
-        return data.decode("utf-8", errors="replace")
+        # Stop at the first eos (everything after it is generation padding);
+        # eos occurrences never appear mid-text in well-formed output, and
+        # truncating — rather than filtering every occurrence — preserves
+        # prompts that legitimately contain the eos string earlier.
+        toks: List[str] = []
+        for i in ids:
+            i = int(i)
+            if self.eos_id is not None and i == self.eos_id:
+                break
+            toks.append(self.inv_vocab.get(i, ""))
+        parts: List[str] = []
+        buf: List[int] = []
+        for tok in toks:
+            if all(c in self._u2b for c in tok):
+                buf.extend(self._u2b[c] for c in tok)
+            else:  # added/special token outside the byte plane: verbatim
+                if buf:
+                    parts.append(bytes(buf).decode("utf-8", errors="replace"))
+                    buf = []
+                parts.append(tok)
+        if buf:
+            parts.append(bytes(buf).decode("utf-8", errors="replace"))
+        return "".join(parts)
 
     def __len__(self) -> int:
         return len(self.vocab)

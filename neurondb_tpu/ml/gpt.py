@@ -396,15 +396,21 @@ class GPT2LM:
     def complete(self, prompt: str, *, max_tokens: int = 64,
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, seed: int = 0) -> str:
-        ids = self.tok.encode(prompt)[-(self.max_len - max_tokens):]
         return self.complete_batch(
-            [ids], max_tokens=max_tokens, temperature=temperature,
-            top_k=top_k, top_p=top_p, seed=seed)[0]
+            [self.tok.encode(prompt)], max_tokens=max_tokens,
+            temperature=temperature, top_k=top_k, top_p=top_p, seed=seed)[0]
 
     def complete_batch(self, id_lists: List[List[int]], *,
                        max_tokens: int = 64, temperature: float = 0.0,
                        top_k: int = 0, top_p: float = 1.0,
                        seed: int = 0) -> List[str]:
+        # Decode positions reach len(prompt)+max_tokens-1; anything past
+        # max_len would silently clamp the wpe gather (JAX gather semantics)
+        # and reuse the last position embedding. Clamp max_tokens and keep
+        # only the tail of each prompt so positions stay in range.
+        max_tokens = min(int(max_tokens), self.max_len - 1)
+        keep = max(self.max_len - max_tokens, 1)
+        id_lists = [list(x)[-keep:] for x in id_lists]
         B = len(id_lists)
         lens = np.asarray([max(len(x), 1) for x in id_lists], np.int32)
         S = _pow2_at_least(int(lens.max()))

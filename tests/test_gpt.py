@@ -238,3 +238,56 @@ def test_local_provider_generative_path(monkeypatch, tmp_path):
     out = prov2.complete("hi", max_tokens=3)
     assert isinstance(out, str)
     assert not out.startswith("[extractive-local]")
+
+
+# ---------------------------------------------------------------------------
+# advisor regressions (round 3 ADVICE.md)
+# ---------------------------------------------------------------------------
+
+def test_complete_batch_truncates_long_prompts():
+    """Prompts longer than max_len - max_tokens must be tail-truncated so
+    decode positions never exceed the wpe table (JAX clamps gathers
+    silently, degrading output instead of erroring)."""
+    lm = GPT2LM.random_init(hidden=32, layers=1, heads=2, max_len=64)
+    long_ids = lm.tok.encode("x" * 500)          # way past max_len
+    assert len(long_ids) > lm.max_len
+    out = lm.complete_batch([long_ids], max_tokens=8, temperature=0.0)
+    # must equal completing from just the kept tail
+    tail = long_ids[-(lm.max_len - 8):]
+    ref = lm.complete_batch([tail], max_tokens=8, temperature=0.0)
+    assert out == ref
+
+
+def test_complete_max_tokens_clamped_to_context():
+    lm = GPT2LM.random_init(hidden=32, layers=1, heads=2, max_len=64)
+    # max_tokens >= max_len used to produce a wrong-slice keep; now clamps
+    out = lm.complete("ab", max_tokens=lm.max_len + 10, temperature=0.0)
+    assert isinstance(out, str)
+
+
+def test_merges_tolerates_whitespace(tmp_path):
+    vp, mp, _ = _toy_assets(tmp_path)
+    # rewrite merges with trailing spaces + blank lines, as some real
+    # exported files have; HF's GPT2Tokenizer tolerates these
+    lines = open(mp, encoding="utf-8").read().splitlines()
+    dirty = [lines[0]] + [ln + "  " for ln in lines[1:]] + ["", "   "]
+    mp2 = tmp_path / "merges_dirty.txt"
+    mp2.write_text("\n".join(dirty) + "\n", encoding="utf-8")
+    t_clean = BPETokenizer.from_files(vp, mp)
+    t_dirty = BPETokenizer.from_files(vp, str(mp2))
+    assert t_dirty.ranks == t_clean.ranks
+    assert t_dirty.tokenize("hello the") == t_clean.tokenize("hello the")
+
+
+def test_decode_truncates_at_first_eos_and_keeps_special_tokens(tmp_path):
+    vp, mp, vocab = _toy_assets(tmp_path)
+    t = BPETokenizer.from_files(vp, mp)
+    h = t.encode("hello")
+    # everything after the FIRST eos is generation padding and dropped
+    assert t.decode(h + [t.eos_id] + h) == "hello"
+    # a special token outside the byte->unicode plane passes through
+    # verbatim instead of vanishing
+    t.vocab["<|special|>"] = len(t.vocab)
+    t.inv_vocab[t.vocab["<|special|>"]] = "<|special|>"
+    out = t.decode(h + [t.vocab["<|special|>"]] + h)
+    assert out == "hello<|special|>hello"
