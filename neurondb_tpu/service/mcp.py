@@ -43,10 +43,12 @@ class MCPServer:
         self._registry_default_done = False
         self._middleware: List[Callable] = []
         self._chain = None
+        self._resources: Dict[str, Dict] = {}
         register_engine_tools(self)
         from neurondb_tpu.service.mcp_tools_extra import (
             register_extra_tools)
         register_extra_tools(self)
+        register_engine_resources(self)
         # default chain mirrors NeuronMCP/internal/middleware: validation
         # always on; auth/rate-limit/metrics/timeout/logging opt-in via
         # use()
@@ -76,6 +78,22 @@ class MCPServer:
                              "inputSchema": input_schema}
         self._handlers[name] = handler
 
+    # ---- resource registration (resource_handlers.go parity) ----
+    def register_resource(self, uri: str, name: str, description: str,
+                          getter: Callable[[], Any],
+                          mime_type: str = "application/json") -> None:
+        self._resources[uri] = {"uri": uri, "name": name,
+                                "description": description,
+                                "mimeType": mime_type, "getter": getter}
+
+    def _read_resource(self, uri: str) -> Dict:
+        res = self._resources.get(uri)
+        if res is None:
+            raise ValueError(f"resource not found: {uri!r}")
+        text = json.dumps(res["getter"](), indent=2, default=_jsonable)
+        return {"contents": [{"uri": uri, "mimeType": res["mimeType"],
+                              "text": text}]}
+
     def add_collection(self, name: str, index, docs: Optional[list] = None):
         self._collections[name] = {"index": index, "docs": docs or []}
 
@@ -102,7 +120,7 @@ class MCPServer:
                     "protocolVersion": PROTOCOL_VERSION,
                     "serverInfo": {"name": self.name,
                                    "version": self.version},
-                    "capabilities": {"tools": {}},
+                    "capabilities": {"tools": {}, "resources": {}},
                 }
             elif method == "notifications/initialized":
                 return None
@@ -118,6 +136,19 @@ class MCPServer:
                 result = {"content": [{"type": "text",
                                        "text": json.dumps(out,
                                                           default=_jsonable)}]}
+            elif method == "resources/list":
+                result = {"resources": [
+                    {k: v for k, v in r.items() if k != "getter"}
+                    for r in self._resources.values()]}
+            elif method == "resources/read":
+                uri = params.get("uri")
+                if not uri:
+                    return self._err(rid, INVALID_PARAMS,
+                                     "missing required param 'uri'")
+                if uri not in self._resources:
+                    return self._err(rid, METHOD_NOT_FOUND,
+                                     f"resource not found: {uri!r}")
+                result = self._read_resource(uri)
             elif method == "ping":
                 result = {}
             else:
@@ -589,6 +620,99 @@ def register_engine_tools(srv: MCPServer) -> None:
 
     srv.register_tool("device_info", "Accelerator info (gpu info parity)",
                       schema({}), t_device)
+
+
+# --------------------------------------------------------------------------
+# engine resources (internal/resources/{resource,config,indexes,models,
+# schema,stats,workers}.go parity — same seven URIs)
+# --------------------------------------------------------------------------
+
+def register_engine_resources(srv: MCPServer) -> None:
+    def _index_row(name: str, col: Dict) -> Dict:
+        idx = col["index"]
+        row = {"collection": name,
+               "kind": getattr(idx, "kind", type(idx).__name__),
+               "n": int(getattr(idx, "n", 0) or 0),
+               "dim": int(getattr(idx, "dim", 0) or 0),
+               "metric": getattr(idx, "metric", None),
+               "documents": len(col.get("docs") or [])}
+        if hasattr(idx, "stats"):
+            try:
+                row["stats"] = idx.stats()
+            except Exception:  # noqa: BLE001 - diagnostics best-effort
+                pass
+        return row
+
+    def r_config():
+        from neurondb_tpu.config import get_config
+        return get_config().as_dict()
+
+    srv.register_resource("neurondb://config", "NeuronDB Configuration",
+                          "Current engine configuration settings", r_config)
+
+    def r_indexes():
+        return {"indexes": [_index_row(n, c)
+                            for n, c in srv._collections.items()]}
+
+    srv.register_resource("neurondb://indexes", "Vector Indexes",
+                          "Status and information about vector indexes",
+                          r_indexes)
+
+    def r_models():
+        from neurondb_tpu.ml.registry import get_registry
+        return {"models": get_registry().list()}
+
+    srv.register_resource("neurondb://models", "ML Models",
+                          "Catalog of trained ML models", r_models)
+
+    def r_schema():
+        # the reference reports DB schema (tables/columns); the engine's
+        # analog is its collection layout + registered type/metric surface
+        from neurondb_tpu.ops.distance import ALIASES
+        return {"collections": [
+                    {"name": n,
+                     "kind": getattr(c["index"], "kind",
+                                     type(c["index"]).__name__),
+                     "dim": int(getattr(c["index"], "dim", 0) or 0)}
+                    for n, c in srv._collections.items()],
+                "metrics": sorted(set(ALIASES.values())),
+                "protocol": PROTOCOL_VERSION}
+
+    srv.register_resource("neurondb://schema", "Engine Schema",
+                          "Collection layout and registered metric surface",
+                          r_schema)
+
+    def r_vector_stats():
+        rows = [_index_row(n, c) for n, c in srv._collections.items()]
+        return {"collections": len(rows),
+                "total_vectors": sum(r["n"] for r in rows),
+                "dims": sorted({r["dim"] for r in rows}),
+                "by_kind": {k: sum(1 for r in rows if r["kind"] == k)
+                            for k in {r["kind"] for r in rows}}}
+
+    srv.register_resource("neurondb://vector_stats", "Vector Statistics",
+                          "Aggregate vector statistics", r_vector_stats)
+
+    def r_workers():
+        from neurondb_tpu.service.metrics import get_metrics
+        return {"stat_view": get_metrics().stat_view()}
+
+    srv.register_resource("neurondb://workers", "Background Workers Status",
+                          "Status of background workers", r_workers)
+
+    def r_index_health():
+        from neurondb_tpu.index.validate import validate_index
+        out = []
+        for n, c in srv._collections.items():
+            try:
+                out.append({"collection": n,
+                            "report": validate_index(c["index"])})
+            except Exception as e:  # noqa: BLE001 - report, don't fail
+                out.append({"collection": n, "error": str(e)})
+        return {"health": out}
+
+    srv.register_resource("neurondb://index_health", "Index Health",
+                          "Index health dashboard", r_index_health)
 
 
 _emb_singleton = None

@@ -103,6 +103,39 @@ class RESTServer:
                     return self._send(200, [vars(x) for x in msgs])
                 self._send(404, {"error": "not found"})
 
+            # SSE streaming (streaming.go:12-75): `stream: true` on the
+            # messages route answers text/event-stream with `chunk`
+            # events (50-char content slices) and a final `done` event
+            # carrying tool-call metadata; errors arrive as `error`
+            # events on the stream, not HTTP status codes.
+            def _sse(self, event: str, data: Dict) -> None:
+                payload = json.dumps(data, default=str)
+                self.wfile.write(
+                    f"event: {event}\ndata: {payload}\n\n".encode())
+                self.wfile.flush()
+
+            def _stream_message(self, session_id: str, content: str) -> None:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "keep-alive")
+                self.send_header("X-Accel-Buffering", "no")
+                self.end_headers()
+                try:
+                    with outer.metrics.timer("agent_execute_seconds"):
+                        msg = outer.runtime.execute(session_id, content)
+                except Exception as e:  # noqa: BLE001
+                    self._sse("error", {"error": str(e)})
+                    self.close_connection = True
+                    return
+                text = msg.content or ""
+                chunk = 50                      # chars/chunk, as reference
+                for i in range(0, len(text), chunk):
+                    self._sse("chunk", {"content": text[i:i + chunk]})
+                self._sse("done", {"message_id": msg.message_id,
+                                   "tool_calls": msg.tool_calls})
+                self.close_connection = True
+
             def do_POST(self):
                 outer.metrics.counter("http_requests_total").inc()
                 if not self._authed():
@@ -124,6 +157,9 @@ class RESTServer:
                                      self.path)
                     if m:
                         b = self._body()
+                        if b.get("stream"):
+                            return self._stream_message(m.group(1),
+                                                        b.get("content", ""))
                         with outer.metrics.timer("agent_execute_seconds"):
                             msg = outer.runtime.execute(
                                 m.group(1), b.get("content", ""))

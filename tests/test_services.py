@@ -349,3 +349,102 @@ def test_mcp_validation_rejects_bool_for_number():
     import pytest as _p
     with _p.raises(ValueError, match="numeric"):
         chain("t", {"x": True})
+
+
+# ---- MCP resources (resource_handlers.go + internal/resources parity) ----
+
+def test_mcp_resources_list():
+    srv = MCPServer()
+    out = _rpc(srv, "initialize")
+    assert "resources" in out["result"]["capabilities"]
+    res = _rpc(srv, "resources/list")["result"]["resources"]
+    uris = {r["uri"] for r in res}
+    assert uris == {"neurondb://config", "neurondb://indexes",
+                    "neurondb://models", "neurondb://schema",
+                    "neurondb://vector_stats", "neurondb://workers",
+                    "neurondb://index_health"}
+    for r in res:
+        assert r["name"] and r["description"]
+        assert r["mimeType"] == "application/json"
+        assert "getter" not in r
+
+
+def test_mcp_resources_read_roundtrip(rng):
+    srv = MCPServer()
+    x = rng.standard_normal((40, 8)).astype(np.float32)
+    _rpc(srv, "tools/call", {
+        "name": "create_index",
+        "arguments": {"vectors": x.tolist(), "kind": "flat",
+                      "collection": "demo"}})
+    out = _rpc(srv, "resources/read", {"uri": "neurondb://indexes"})
+    content = out["result"]["contents"][0]
+    assert content["uri"] == "neurondb://indexes"
+    assert content["mimeType"] == "application/json"
+    rows = json.loads(content["text"])["indexes"]
+    assert rows and rows[0]["collection"] == "demo" and rows[0]["n"] == 40
+    # config resource returns the live GUC dict
+    cfg = json.loads(_rpc(srv, "resources/read",
+                          {"uri": "neurondb://config"}
+                          )["result"]["contents"][0]["text"])
+    assert "hnsw_ef_search" in cfg
+    # vector_stats aggregates
+    st = json.loads(_rpc(srv, "resources/read",
+                         {"uri": "neurondb://vector_stats"}
+                         )["result"]["contents"][0]["text"])
+    assert st["total_vectors"] == 40 and st["collections"] == 1
+    # index_health runs the validator
+    h = json.loads(_rpc(srv, "resources/read",
+                        {"uri": "neurondb://index_health"}
+                        )["result"]["contents"][0]["text"])
+    assert h["health"][0]["collection"] == "demo"
+    # schema + models + workers parse as JSON
+    for uri in ("neurondb://schema", "neurondb://models",
+                "neurondb://workers"):
+        json.loads(_rpc(srv, "resources/read", {"uri": uri}
+                        )["result"]["contents"][0]["text"])
+
+
+def test_mcp_resources_errors():
+    srv = MCPServer()
+    out = _rpc(srv, "resources/read", {"uri": "neurondb://nope"})
+    assert out["error"]["code"] == -32601
+    out = _rpc(srv, "resources/read", {})
+    assert out["error"]["code"] == -32602
+
+def test_rest_sse_streaming(rest_server):
+    """stream: true -> text/event-stream chunk/done framing
+    (NeuronAgent/internal/api/streaming.go:12-75)."""
+    srv, port = rest_server
+    _, agent = _req(port, "/api/v1/agents", {"name": "bot"})
+    _, sess = _req(port, "/api/v1/sessions", {"agent_id": agent["agent_id"]})
+    url = (f"http://127.0.0.1:{port}/api/v1/sessions/"
+           f"{sess['session_id']}/messages")
+    req = urllib.request.Request(
+        url, data=json.dumps({"content": "hi", "stream": True}).encode())
+    req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        raw = r.read().decode()
+    events = []
+    for block in raw.strip().split("\n\n"):
+        lines = dict(ln.split(": ", 1) for ln in block.split("\n"))
+        events.append((lines["event"], json.loads(lines["data"])))
+    kinds = [e for e, _ in events]
+    assert kinds[-1] == "done" and all(e == "chunk" for e in kinds[:-1])
+    text = "".join(d["content"] for e, d in events if e == "chunk")
+    assert "hello there" in text
+    assert "message_id" in events[-1][1]
+
+
+def test_rest_sse_error_event(rest_server):
+    """Execute failures surface as an `error` SSE event, not an HTTP
+    status (streaming.go:38-42)."""
+    srv, port = rest_server
+    url = f"http://127.0.0.1:{port}/api/v1/sessions/nonexistent/messages"
+    req = urllib.request.Request(
+        url, data=json.dumps({"content": "hi", "stream": True}).encode())
+    req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 200
+        raw = r.read().decode()
+    assert raw.startswith("event: error\n")
