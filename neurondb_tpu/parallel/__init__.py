@@ -14,6 +14,9 @@ from neurondb_tpu.parallel.sharded import (  # noqa: F401
     ShardedFlatIndex,
     ShardedIVFIndex,
 )
+from neurondb_tpu.parallel.sharded_hnsw import (  # noqa: F401
+    ShardedHNSWIndex,
+)
 from neurondb_tpu.parallel.multihost import (  # noqa: F401
     MultiHostFlatIndex,
     MultiHostIVFIndex,

