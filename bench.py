@@ -178,93 +178,125 @@ def main():
     index = IVFFlatIndex(x, nlists=nlists, metric="l2", seed=0)
     jax.block_until_ready(index._vecs)
     build_s = time.time() - t0
-    qpad_warm = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
     # Query wire: the host->device link is the serving bottleneck
     # (~50 MB/s through the tunnel; 8 MB of f32 queries ~ 160 ms of a
-    # 183 ms batch). Default is the 1-byte int8 wire (per-query max-abs
-    # scales, device dequant): interleaved same-slot A/B measured 1.77x
-    # the bf16 wire (234k vs 132k median) at unchanged recall@10 0.9505
-    # through the wire; the nprobe sweep below re-measures recall
-    # THROUGH the wire, so if quantization ever cost recall the sweep
-    # self-corrects with a higher nprobe. NDB_WIRE=bfloat16|float32
-    # opt out; NDB_WIRE=int4 opts into the packed half-byte wire.
-    wire = os.environ.get("NDB_WIRE", "int8")
-    # approximate per-chunk selection for the probe-everything fallback
-    # (uniform corpora): opt-in, recall measured through the same path
-    rt = float(os.environ.get("NDB_RECALL_TARGET", "1.0"))
-    if wire == "bfloat16":
-        import ml_dtypes
-        qpad_warm = qpad_warm.astype(ml_dtypes.bfloat16)
-    elif wire == "int8":
-        from neurondb_tpu.index.base import quantize_queries_int8
-        qpad_warm = quantize_queries_int8(qpad_warm)
-    elif wire == "int4":
-        from neurondb_tpu.index.base import quantize_queries_int4
-        qpad_warm = quantize_queries_int4(qpad_warm)
-    index.search(qpad_warm, k=k, nprobe=1)      # warm (kernel prewarmed)
+    # 183 ms batch). Candidate wires, cheapest first:
+    #   int8  (1.03 B/dim, per-query max-abs scales; wire-only ranking
+    #          recall 0.9844 on the headline corpus)
+    #   int12 (1.53 B/dim, int8 codes + packed int4 residual; wire-only
+    #          0.9991 — indistinguishable from f32, beats bf16's 0.9959
+    #          at 77% of its bytes)
+    # The operating point is chosen by ARGMAX MEASURED QPS over
+    # (wire, nprobe) candidates whose recall@10 — measured THROUGH the
+    # wire — clears 0.95 (round-3 verdict item 1: first-nprobe-that-
+    # passes silently doubled probes when the int8 wire's nprobe=4
+    # recall landed at 0.9457). NDB_WIRE pins a single wire
+    # (float32|bfloat16|int8|int12|int4).
+    def _make_wire(name, qarr):
+        if name == "bfloat16":
+            import ml_dtypes
+            return qarr.astype(ml_dtypes.bfloat16)
+        if name == "int8":
+            from neurondb_tpu.index.base import quantize_queries_int8
+            return quantize_queries_int8(qarr)
+        if name == "int12":
+            from neurondb_tpu.index.base import quantize_queries_int12
+            return quantize_queries_int12(qarr)
+        if name == "int4":
+            from neurondb_tpu.index.base import quantize_queries_int4
+            return quantize_queries_int4(qarr)
+        return qarr
+
+    wire_env = os.environ.get("NDB_WIRE", "")
+    wires = [wire_env] if wire_env else ["int8", "int12"]
+    # Per-chunk PartialReduce selection for the probe-everything
+    # fallback (uniform corpora route there; lax.approx_min_k measured
+    # 5.3x over XLA TopK at [16384, 16384]). DEFAULT ON at 0.99 since
+    # round 4: the sweep re-measures recall through this exact path, so
+    # the reported recall is the real end-to-end number either way
+    # (uniform 1M measures 0.9998 through it). NDB_RECALL_TARGET=1.0
+    # restores exact selection. Only the exact-scan fallback consumes
+    # it; the grouped-kernel path is unaffected.
+    rt = float(os.environ.get("NDB_RECALL_TARGET", "0.99"))
+
+    qpad_f32 = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
+    index.search(_make_wire(wires[0], qpad_f32), k=k,
+                 nprobe=1)                      # warm (kernel prewarmed)
 
     # All searches use one batch shape: on this backend each new kernel
     # shape is a fresh, expensive (and flaky) compilation, and the engine
     # buckets nprobe internally for the same reason.
-    qpad = qpad_warm
 
-    # nprobe sweep to hit recall >= 0.95 (nprobe<=16 shares one bucket;
-    # 24-256 share the 64/256 buckets; uniform corpora need the high end,
-    # and nprobe=nlists falls back to the exact probe-everything scan)
-    chosen = None
-    probe_stats = []
-    for nprobe in (1, 2, 4, 8, 12, 16, 24, 48, 96, 128, 256):
-        if nprobe > nlists:
-            break
-        _, ids = index.search(qpad, k=k, nprobe=nprobe, recall_target=rt)
-        r = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
-        probe_stats.append((nprobe, round(r, 4)))
-        if r >= 0.95:
-            chosen = nprobe
-            break
-    if chosen is None:
-        chosen = nlists
+    # Recall sweep per wire (cheap: one batch per probed point). The
+    # first nprobe that clears the bar ends that wire's sweep — higher
+    # nprobe at the same wire is never faster, so it can't be argmax.
+    probe_stats = {}
+    candidates = []       # (wire, nprobe) with measured recall >= 0.95
+    for wire in wires:
+        qpad = _make_wire(wire, qpad_f32)
+        stats = []
+        for nprobe in (1, 2, 4, 8, 12, 16, 24, 48, 96, 128, 256):
+            if nprobe > nlists:
+                break
+            _, ids = index.search(qpad, k=k, nprobe=nprobe,
+                                  recall_target=rt)
+            r = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
+            stats.append((nprobe, round(r, 4)))
+            if r >= 0.95:
+                candidates.append((wire, nprobe, r))
+                break
+        probe_stats[wire] = stats
+    if not candidates:
+        candidates = [(wires[0], nlists, probe_stats[wires[0]][-1][1])]
 
-    # timed QPS at the chosen operating point: dispatch every sub-batch
-    # without a host sync (serving-style pipelining: transfers overlap
-    # compute), one barrier at the end. Median of 3 in-process repeats:
-    # the shared backend's run-to-run variance spanned 51k-124k QPS on
+    # Timed QPS per candidate: dispatch every sub-batch without a host
+    # sync (serving-style pipelining: transfers overlap compute), one
+    # barrier at the end. FOUR repeats, the cold first discarded
+    # (round-3 data: the first repeat ran 1.5x slow because the one-batch
+    # warmup doesn't fill the pipeline), median of the last three. The
+    # shared backend's run-to-run variance spanned 51k-124k QPS on
     # identical code (BASELINE.md honesty note), so a single sample is
-    # a coin flip — the median with the spread recorded is self-defending
-    qbig = np.concatenate([q] * max(1, (8 * batch) // nq + 1))[: 8 * batch]
-    if wire == "bfloat16":
-        import ml_dtypes
-        qbig = qbig.astype(ml_dtypes.bfloat16)
-    elif wire == "int8":
-        from neurondb_tpu.index.base import quantize_queries_int8
-        qbig = quantize_queries_int8(qbig)
-    elif wire == "int4":
-        from neurondb_tpu.index.base import quantize_queries_int4
-        qbig = quantize_queries_int4(qbig)
+    # a coin flip — the median with the spread recorded is self-defending.
+    qbig_f32 = np.concatenate(
+        [q] * max(1, (8 * batch) // nq + 1))[: 8 * batch]
 
     def _slice(qq, s, e):
-        return (qq[0][s:e], qq[1][s:e]) if isinstance(qq, tuple) else qq[s:e]
-    index.search(_slice(qbig, 0, batch), k=k, nprobe=chosen,
-                 recall_target=rt)
-    samples = []
-    for _ in range(3):
-        t0 = time.time()
-        done = 0
-        outs = []
-        nbig = len(qbig[0]) if isinstance(qbig, tuple) else len(qbig)
-        for s in range(0, nbig, batch):
-            outs.append(index.search(_slice(qbig, s, s + batch), k=k,
-                                     nprobe=chosen, out="device",
-                                     recall_target=rt))
-            done += min(batch, nbig - s)
-        # value fetch, not block_until_ready: the latter returns EARLY
-        # through the tunnel (IMPLEMENTATION_NOTES round-3 finding 4);
-        # fetching the LAST output forces every earlier batch (in-order)
-        np.asarray(outs[-1][0][:1])
-        samples.append(done / (time.time() - t0))
-    samples.sort()
-    qps = samples[1]
+        if isinstance(qq, tuple):
+            return tuple(part[s:e] for part in qq)
+        return qq[s:e]
 
+    def _timed(wire, nprobe):
+        qbig = _make_wire(wire, qbig_f32)
+        nbig = len(qbig[0]) if isinstance(qbig, tuple) else len(qbig)
+        index.search(_slice(qbig, 0, batch), k=k, nprobe=nprobe,
+                     recall_target=rt)
+        reps = []
+        for _ in range(4):
+            t0 = time.time()
+            done = 0
+            outs = []
+            for s in range(0, nbig, batch):
+                outs.append(index.search(_slice(qbig, s, s + batch), k=k,
+                                         nprobe=nprobe, out="device",
+                                         recall_target=rt))
+                done += min(batch, nbig - s)
+            # value fetch, not block_until_ready: the latter returns
+            # EARLY through the tunnel (IMPLEMENTATION_NOTES round-3
+            # finding 4); fetching the LAST output forces every earlier
+            # batch (in-order)
+            np.asarray(outs[-1][0][:1])
+            reps.append(done / (time.time() - t0))
+        warm = sorted(reps[1:])
+        return warm[1], reps
+
+    timed = {}
+    for wire, nprobe, r in candidates:
+        med, reps = _timed(wire, nprobe)
+        timed[(wire, nprobe)] = (med, reps, r)
+    (chosen_wire, chosen), (qps, samples, _) = max(
+        timed.items(), key=lambda kv: kv[1][0])
+
+    qpad = _make_wire(chosen_wire, qpad_f32)
     _, ids = index.search(qpad, k=k, nprobe=chosen, recall_target=rt)
     final_recall = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
 
@@ -280,8 +312,13 @@ def main():
         "build_seconds": round(build_s, 1),
         "ground_truth_seconds": round(gt_s, 1),
         "probe_sweep": probe_stats,
+        "operating_points": {
+            f"{w}@{p}": {"qps_median": round(m, 1),
+                         "qps_samples": [round(x, 1) for x in reps],
+                         "recall_at_10": round(r, 4)}
+            for (w, p), (m, reps, r) in timed.items()},
         "qps_samples": [round(s, 1) for s in samples],
-        "query_wire": wire,
+        "query_wire": chosen_wire,
         "recall_target": rt,
         "corpus": "real:" + os.path.basename(real[0]) if real is not None
                   else CORPUS,

@@ -53,6 +53,7 @@ from neurondb_tpu.index import (  # noqa: F401
 from neurondb_tpu.index.base import (  # noqa: F401
     quantize_queries_int4,
     quantize_queries_int8,
+    quantize_queries_int12,
 )
 from neurondb_tpu.store import VectorStore  # noqa: F401
 
@@ -76,6 +77,7 @@ __all__ = [
     "merge_topk",
     "quantize_queries_int4",
     "quantize_queries_int8",
+    "quantize_queries_int12",
     "FlatIndex",
     "QuantizedFlatIndex",
     "IVFFlatIndex",
