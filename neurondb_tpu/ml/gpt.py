@@ -62,6 +62,58 @@ def init_gpt_params(key, *, vocab_size=50257, hidden=768, layers=12,
     return p
 
 
+def _mm(x, w):
+    """Matmul against a plain weight array or an int8-quantized
+    ``(codes int8 [in, out], scale f32 [out])`` pair.
+
+    The quantized path is W8A8: activations are quantized per row
+    (per-token max-abs scale) so the dot runs the MXU's native
+    int8 x int8 -> int32 path and the weight matrix is read from HBM at
+    1 byte/param — decode is weight-bandwidth-bound, so halving the
+    bytes vs bf16 is the whole win. Dequant is a rank-1 rescale
+    (row scale x column scale) fused into the epilogue by XLA."""
+    if isinstance(w, tuple):
+        wq, sw = w
+        sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+        sx = jnp.maximum(sx.astype(jnp.float32), 1e-12)
+        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * sx * sw
+    return x @ w
+
+
+def _lm_head(x, params):
+    lm = params.get("lm_head")
+    if lm is not None:
+        return _mm(x, lm)
+    return x @ params["wte"].T                   # tied lm head
+
+
+def quantize_gpt_params(params: Dict, *, lm_head: bool = True) -> Dict:
+    """Symmetric per-output-channel int8 weight quantization for the
+    serving decode path (W8A8 through ``_mm``). Block matmul weights
+    (w_qkv/w_o/w_fc/w_pr) and — by default — a detached int8 copy of the
+    tied lm head become ``(int8 codes, f32 scale)`` pairs; embeddings,
+    biases, and layernorm params stay in their float dtype (gathers and
+    vector adds are not bandwidth-relevant). GPT-2-small: 248 MB of
+    bf16 matmul weights -> 124 MB, the dominant per-step HBM read."""
+    def q(w):
+        w = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
+        wq = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        return (wq, s)
+
+    out = {k: v for k, v in params.items()}
+    out["blocks"] = [
+        {**blk, **{t: q(blk[t]) for t in ("w_qkv", "w_o", "w_fc", "w_pr")}}
+        for blk in params["blocks"]]
+    if lm_head:
+        out["lm_head"] = q(params["wte"].T)
+    return out
+
+
 def _ln(x, g, b, eps=1e-5):                     # GPT-2 LayerNorm eps
     mu = jnp.mean(x, -1, keepdims=True)
     var = jnp.var(x, -1, keepdims=True)
@@ -100,7 +152,7 @@ def gpt_logits(params: Dict, ids: jax.Array, *, heads: int,
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
     for blk in params["blocks"]:
         h = _ln(x, blk["ln1"]["g"], blk["ln1"]["b"])
-        qkv = h @ blk["w_qkv"] + blk["b_qkv"]
+        qkv = _mm(h, blk["w_qkv"]) + blk["b_qkv"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
         s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
@@ -110,12 +162,12 @@ def gpt_logits(params: Dict, ids: jax.Array, *, heads: int,
         o = jnp.einsum("bhqk,bhkd->bhqd", a, vh,
                        preferred_element_type=jnp.float32)
         att = o.transpose(0, 2, 1, 3).reshape(B, S, heads * dh)
-        x = x + att @ blk["w_o"] + blk["b_o"]
+        x = x + _mm(att, blk["w_o"]) + blk["b_o"]
         h = _ln(x, blk["ln2"]["g"], blk["ln2"]["b"])
-        x = x + _gelu(h @ blk["w_fc"] + blk["b_fc"]) @ blk["w_pr"] \
-            + blk["b_pr"]
+        x = x + _mm(_gelu(_mm(h, blk["w_fc"]) + blk["b_fc"]),
+                    blk["w_pr"]) + blk["b_pr"]
     x = _ln(x, params["ln_f"]["g"], params["ln_f"]["b"])
-    return x @ params["wte"].T                   # tied lm head
+    return _lm_head(x, params)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +188,7 @@ def _prefill(params, ids, lens, heads, cache_len):
     ks, vs = [], []
     for blk in params["blocks"]:
         h = _ln(x, blk["ln1"]["g"], blk["ln1"]["b"])
-        qkv = h @ blk["w_qkv"] + blk["b_qkv"]
+        qkv = _mm(h, blk["w_qkv"]) + blk["b_qkv"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
         pad = ((0, 0), (0, 0), (0, cache_len - S), (0, 0))
@@ -149,12 +201,12 @@ def _prefill(params, ids, lens, heads, cache_len):
         o = jnp.einsum("bhqk,bhkd->bhqd", a, vh,
                        preferred_element_type=jnp.float32)
         att = o.transpose(0, 2, 1, 3).reshape(B, S, heads * dh)
-        x = x + att @ blk["w_o"] + blk["b_o"]
+        x = x + _mm(att, blk["w_o"]) + blk["b_o"]
         h = _ln(x, blk["ln2"]["g"], blk["ln2"]["b"])
-        x = x + _gelu(h @ blk["w_fc"] + blk["b_fc"]) @ blk["w_pr"] \
-            + blk["b_pr"]
+        x = x + _mm(_gelu(_mm(h, blk["w_fc"]) + blk["b_fc"]),
+                    blk["w_pr"]) + blk["b_pr"]
     x = _ln(x, params["ln_f"]["g"], params["ln_f"]["b"])
-    logits_last = x[:, -1] @ params["wte"].T
+    logits_last = _lm_head(x[:, -1], params)
     cache = {"k": ks, "v": vs}
     return logits_last, cache
 
@@ -175,7 +227,7 @@ def _decode_step(params, cache, token, step, S, lens, heads):
     new_k, new_v = [], []
     for li, blk in enumerate(params["blocks"]):
         h = _ln(x, blk["ln1"]["g"], blk["ln1"]["b"])
-        qkv = h @ blk["w_qkv"] + blk["b_qkv"]
+        qkv = _mm(h, blk["w_qkv"]) + blk["b_qkv"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh = q.reshape(B, heads, dh)
         kh = k.reshape(B, heads, 1, dh)
@@ -193,12 +245,12 @@ def _decode_step(params, cache, token, step, S, lens, heads):
         o = jnp.einsum("bhk,bhkd->bhd", a, cv,
                        preferred_element_type=jnp.float32)
         att = o.reshape(B, H)
-        x = x + att @ blk["w_o"] + blk["b_o"]
+        x = x + _mm(att, blk["w_o"]) + blk["b_o"]
         h = _ln(x, blk["ln2"]["g"], blk["ln2"]["b"])
-        x = x + _gelu(h @ blk["w_fc"] + blk["b_fc"]) @ blk["w_pr"] \
-            + blk["b_pr"]
+        x = x + _mm(_gelu(_mm(h, blk["w_fc"]) + blk["b_fc"]),
+                    blk["w_pr"]) + blk["b_pr"]
     x = _ln(x, params["ln_f"]["g"], params["ln_f"]["b"])
-    logits = x @ params["wte"].T
+    logits = _lm_head(x, params)
     return logits, {"k": new_k, "v": new_v}
 
 
@@ -356,7 +408,13 @@ class GPT2LM:
     def __init__(self, params: Dict, tokenizer, heads: int,
                  eos_id: Optional[int] = None,
                  dtype: Optional[str] = None):
-        if dtype is not None:
+        if dtype == "int8":
+            # W8A8 serving mode: matmul weights quantized per output
+            # channel (quantize_gpt_params); embeddings/biases/ln stay
+            # float. Decode is weight-bandwidth-bound, so 1 B/param on
+            # the dominant reads is the point.
+            params = quantize_gpt_params(params)
+        elif dtype is not None:
             dt = jnp.dtype(dtype)
             params = jax.tree.map(
                 lambda a: a.astype(dt) if hasattr(a, "dtype")

@@ -75,15 +75,26 @@ def _get_bm25_device_fn():
         B, T = term_off.shape
         H = w_dense.shape[0]
         nnz = post_doc.shape[0]
-        # heavy tier: occurrence counts -> one f32 GEMM (HIGHEST keeps
-        # the device path within the 1e-5 parity bar vs the host oracle)
+        # heavy tier: occurrence counts -> one GEMM. f32 weights score
+        # with HIGHEST precision (keeps the device path within the 1e-5
+        # parity bar vs the host oracle); bf16 weights (the at-scale
+        # tier — 2x H under the same byte budget) ride the MXU's native
+        # bf16 path with an f32 accumulator. Counts are small integers,
+        # exact in bf16, so the only error is the ~2^-8 relative weight
+        # rounding — noise next to BM25 scores of 1-10.
         hcols = jnp.arange(H, dtype=jnp.int32)
         counts = (heavy_idx[:, :, None] == hcols[None, None, :]
                   ).astype(jnp.float32).sum(axis=1)          # [B, H]
-        scores = jax.lax.dot_general(
-            counts, w_dense, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        if w_dense.dtype == jnp.bfloat16:
+            scores = jax.lax.dot_general(
+                counts.astype(jnp.bfloat16), w_dense,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            scores = jax.lax.dot_general(
+                counts, w_dense, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
         rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
         col = jnp.arange(seg, dtype=jnp.int32)[None, :]
 
@@ -252,10 +263,19 @@ class BM25Index:
     #: term's weight at the cut — by construction <= its seg_cap*seg-th
     #: largest weight. Host ``scores()`` stays the exact oracle.
     seg_cap = 16
-    #: device-memory budget for the heavy-term dense tier (f32
-    #: [H, n_docs]); H = min(heavy_rows_cap, budget // row_bytes)
+    #: device-memory budget for the heavy-term dense tier
+    #: ([H, n_docs]); H = min(heavy_rows_cap, budget // row_bytes).
+    #: Below ``heavy_bf16_from`` docs the tier is f32 (bit-parity with
+    #: the host oracle within 1e-5); at/above it the rows are stored
+    #: bf16 — 2 B/doc instead of 4, so the same 200 MB budget holds 2x
+    #: the heavy terms (100 rows at 1M docs vs f32's 50) and the GEMM
+    #: runs the MXU's native bf16 path. Weight rounding is ~2^-8
+    #: relative — noise next to typical BM25 scores of 1-10, and the
+    #: light tier's seg_cap truncation is already the larger
+    #: at-scale approximation.
     heavy_mb = 200
     heavy_rows_cap = 512
+    heavy_bf16_from = 500_000
 
     def _ensure_device(self):
         if getattr(self, "_dev", None) is not None:
@@ -277,7 +297,10 @@ class BM25Index:
         scoreable = self.idf >= self.prune_idf_below
         df_min = max(32.0, self.n_docs / 256.0)
         cand = np.where(scoreable & (self.df >= df_min))[0]
-        h_budget = int(self.heavy_mb * 1e6 // max(4 * self.n_docs, 1))
+        use_bf16 = self.n_docs >= self.heavy_bf16_from
+        row_bytes = 2 if use_bf16 else 4
+        h_budget = int(self.heavy_mb * 1e6
+                       // max(row_bytes * self.n_docs, 1))
         H = int(min(len(cand), self.heavy_rows_cap, max(h_budget, 0)))
         heavy = cand[np.argsort(-self.df[cand], kind="stable")[:H]] \
             if H else np.empty(0, np.int64)
@@ -287,6 +310,11 @@ class BM25Index:
         for h, ti in enumerate(heavy):
             s, e = self._offsets[ti], self._offsets[ti + 1]
             w_dense[h, self._post_doc[s:e]] = w[s:e]
+        if use_bf16:
+            # cast host-side: halves both the one-time h2d transfer
+            # (the tunnel is ~50 MB/s) and the resident HBM footprint
+            import ml_dtypes
+            w_dense = w_dense.astype(ml_dtypes.bfloat16)
         # impact order: weight-descending within each term (same CSR
         # offsets — the permutation never crosses term boundaries)
         perm = np.lexsort((-w, term_of))
