@@ -140,10 +140,12 @@ def _ivfpq_search_grouped(q, centroids, codebooks, R, codes_t, row_ids,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "coarse_k", "metric", "nprobe_pad"))
+    jax.jit, static_argnames=("k", "coarse_k", "metric", "nprobe_pad",
+                              "orig_int8"))
 def _ivfpq_search_grouped_rr(q, centroids, codebooks, R, codes_t, row_ids,
-                             offsets, counts, orig, nprobe, *, k: int,
-                             coarse_k: int, metric: str, nprobe_pad: int):
+                             offsets, counts, orig, orig_scale, nprobe,
+                             *, k: int, coarse_k: int, metric: str,
+                             nprobe_pad: int, orig_int8: bool = False):
     """Grouped ADC scan + EXACT rerank fused into ONE jit.
 
     Round-2 ran the rerank as eager ops after the search jit; on this
@@ -161,16 +163,37 @@ def _ivfpq_search_grouped_rr(q, centroids, codebooks, R, codes_t, row_ids,
     vals, ids = _ivfpq_search_grouped(
         q, centroids, codebooks, R, codes_t, row_ids, offsets, counts,
         nprobe, k=coarse_k, metric=metric, nprobe_pad=nprobe_pad)
-    cand = orig[jnp.maximum(ids, 0)]                  # [B, C, D] bf16
-    dots = jnp.einsum("bd,bcd->bc", q.astype(cand.dtype), cand,
-                      preferred_element_type=jnp.float32)
-    if metric == "ip":
-        dd = -dots
+    idsafe = jnp.maximum(ids, 0)
+    if orig_int8:
+        # int8 originals + per-row scale: the 30-50M-in-one-chip
+        # configuration (bf16 at 40M x 128 is 10.2 GB of rerank store;
+        # int8 halves it to 5.1 GB + 160 MB of scales). The gather
+        # reads 1 B/dim; the dot runs bf16 x bf16 -> f32 on the MXU
+        # with the rank-1 (row-scale) dequant fused into the epilogue.
+        dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+              else jnp.float32)
+        cq = orig[idsafe].astype(dt)                  # [B, C, D]
+        sc = orig_scale[idsafe]                       # [B, C] f32
+        dots = jnp.einsum("bd,bcd->bc", q.astype(dt), cq,
+                          preferred_element_type=jnp.float32) * sc
+        if metric == "ip":
+            dd = -dots
+        else:
+            csq = jnp.einsum("bcd,bcd->bc", cq, cq,
+                             preferred_element_type=jnp.float32) * (sc * sc)
+            qsq = jnp.sum(q * q, axis=1)
+            dd = jnp.maximum(qsq[:, None] + csq - 2.0 * dots, 0.0)
     else:
-        csq = jnp.einsum("bcd,bcd->bc", cand, cand,
-                         preferred_element_type=jnp.float32)
-        qsq = jnp.sum(q * q, axis=1)
-        dd = jnp.maximum(qsq[:, None] + csq - 2.0 * dots, 0.0)
+        cand = orig[idsafe]                           # [B, C, D] bf16
+        dots = jnp.einsum("bd,bcd->bc", q.astype(cand.dtype), cand,
+                          preferred_element_type=jnp.float32)
+        if metric == "ip":
+            dd = -dots
+        else:
+            csq = jnp.einsum("bcd,bcd->bc", cand, cand,
+                             preferred_element_type=jnp.float32)
+            qsq = jnp.sum(q * q, axis=1)
+            dd = jnp.maximum(qsq[:, None] + csq - 2.0 * dots, 0.0)
     dd = jnp.where(ids >= 0, dd, TK.NEG_FILL)
     vals, pos = TK.topk_smallest(dd, k)
     ids = jnp.take_along_axis(ids, pos, axis=-1)
@@ -186,7 +209,8 @@ class IVFPQIndex(BaseIndex):
     def __init__(self, vectors, *, nlists: Optional[int] = None,
                  n_sub: int = 16, ksub: int = 256, metric: str = "l2",
                  ids=None, seed: int = 0, sample_cap: int = 131072,
-                 keep_originals: bool = False, opq: bool = False):
+                 keep_originals: bool = False, opq: bool = False,
+                 orig_dtype: Optional[str] = None):
         cfg = get_config()
         x = np.asarray(vectors, np.float32)
         n, d = x.shape
@@ -215,7 +239,46 @@ class IVFPQIndex(BaseIndex):
                            max_iter=cfg.ivf_kmeans_iters,
                            tol=cfg.ivf_kmeans_tol, seed=seed)
         self.centroids = state.centroids
-        labels = np.asarray(kmeans_predict(state.centroids, jnp.asarray(x)))
+
+        # int8 rerank originals (the 30-50M-rows-in-one-chip config,
+        # VERDICT r3 item 4): per-row symmetric scale, quantized on the
+        # host and uploaded ONCE. The device store then feeds the label
+        # and encode passes via on-device dequant — at 40M x 128 the
+        # int8 upload is 5.1 GB where the old flow's three f32 passes
+        # (labels, encode, originals) would move ~60 GB through the
+        # ~50 MB/s tunnel. Rerank distance error from int8 rounding is
+        # ~0.4% relative — ADC survivors at rerank depth are far better
+        # separated than that (recall asserted in tests/bench).
+        if orig_dtype is None:
+            orig_dtype = ("bf16" if jax.default_backend() == "tpu"
+                          else "f32")
+        self.orig_dtype = orig_dtype if keep_originals else None
+        orig_int8 = keep_originals and orig_dtype == "int8"
+        self._orig_scale = None
+        chunk = 1 << 20
+        if orig_int8:
+            scale = np.empty(n, np.float32)
+            xq = np.empty((n, d), np.int8)
+            for s in range(0, n, chunk):   # chunked: no [N, D] temps
+                e = min(s + chunk, n)
+                scale[s:e] = np.maximum(
+                    np.abs(x[s:e]).max(axis=1), 1e-30) / 127.0
+                xq[s:e] = np.clip(np.rint(x[s:e] / scale[s:e, None]),
+                                  -127, 127).astype(np.int8)
+            self._orig = jnp.asarray(xq)
+            self._orig_scale = jnp.asarray(scale)
+            del xq
+            deq = jax.jit(lambda cq, sc: cq.astype(jnp.float32)
+                          * sc[:, None])
+            labels = np.empty(n, np.int32)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                labels[s:e] = np.asarray(kmeans_predict(
+                    state.centroids,
+                    deq(self._orig[s:e], self._orig_scale[s:e])))
+        else:
+            labels = np.asarray(
+                kmeans_predict(state.centroids, jnp.asarray(x)))
 
         # PQ codebooks on RESIDUALS (x - centroid): residual energy is
         # what remains after the coarse quantizer, so the same code
@@ -252,11 +315,22 @@ class IVFPQIndex(BaseIndex):
                          np.uint8 if self.ksub <= 256 else np.int32)
         for s in range(0, n, step):
             e = min(s + step, n)
-            rb = x[s:e] - cents_np[labels[s:e]]
-            if e - s < step and n > step:      # one compile shape
-                rb = np.concatenate(
-                    [rb, np.repeat(rb[-1:], step - (e - s), axis=0)])
-            rbj = jnp.asarray(rb)
+            if orig_int8:
+                # residuals from the device-resident int8 store: only
+                # the 4 MB label chunk crosses the tunnel per block
+                lb = jnp.asarray(labels[s:e])
+                rbj = deq(self._orig[s:e], self._orig_scale[s:e]) \
+                    - self.centroids[lb]
+                if e - s < step and n > step:
+                    rbj = jnp.concatenate(
+                        [rbj, jnp.repeat(rbj[-1:], step - (e - s),
+                                         axis=0)])
+            else:
+                rb = x[s:e] - cents_np[labels[s:e]]
+                if e - s < step and n > step:  # one compile shape
+                    rb = np.concatenate(
+                        [rb, np.repeat(rb[-1:], step - (e - s), axis=0)])
+                rbj = jnp.asarray(rb)
             if opq:
                 rbj = rbj @ self.R
             codes[s:e] = np.asarray(pq_encode(self.codebooks,
@@ -300,9 +374,10 @@ class IVFPQIndex(BaseIndex):
         # by f32 accumulation; candidate ordering at rerank depth is
         # insensitive to bf16 rounding of well-separated distances)
         if keep_originals:
-            dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
-                  else jnp.float32)
-            self._orig = jnp.asarray(x).astype(dt)
+            if not orig_int8:                  # int8 store set above
+                dt = (jnp.float32 if orig_dtype == "f32"
+                      else jnp.bfloat16)
+                self._orig = jnp.asarray(x).astype(dt)
         else:
             self._orig = None
 
@@ -369,12 +444,15 @@ class IVFPQIndex(BaseIndex):
                              # nprobe=8 paid the npad=16 grid, -45% QPS)
             npad = min(npad, self.nlists)
             if rerank:
+                oint8 = self._orig.dtype == jnp.int8
                 vals, rows = _ivfpq_search_grouped_rr(
                     q, self.centroids, self.codebooks, self._R_or_eye(),
                     self._codes_t, self._row_ids, self._offsets,
-                    self._counts, self._orig, jnp.int32(nprobe), k=kk,
+                    self._counts, self._orig,
+                    self._orig_scale if oint8 else jnp.zeros(1),
+                    jnp.int32(nprobe), k=kk,
                     coarse_k=coarse_k, metric=metric,
-                    nprobe_pad=max(npad, nprobe))
+                    nprobe_pad=max(npad, nprobe), orig_int8=oint8)
                 rerank = 0                     # already reranked in-jit
             else:
                 vals, rows = _ivfpq_search_grouped(
@@ -394,6 +472,8 @@ class IVFPQIndex(BaseIndex):
         if rerank:
             rs = jnp.maximum(rows, 0)
             cand = self._orig[rs].astype(jnp.float32)
+            if self._orig.dtype == jnp.int8:
+                cand = cand * self._orig_scale[rs][..., None]
             if self.metric == "ip":
                 dd = -jnp.einsum("bd,bcd->bc", q, cand,
                                  preferred_element_type=jnp.float32)
@@ -428,6 +508,8 @@ class IVFPQIndex(BaseIndex):
             arrays["R"] = self.R
         if self._orig is not None:
             arrays["orig"] = self._orig
+            if self._orig_scale is not None:
+                arrays["orig_scale"] = self._orig_scale
         return arrays, {"n": self.n, "n_sub": self.n_sub,
                         "ksub": self.ksub, "nlists": self.nlists,
                         "max_list": self.max_list, "seed": self._seed}
@@ -461,10 +543,18 @@ class IVFPQIndex(BaseIndex):
         self._ids_identity = bool(
             np.array_equal(self._ids, np.arange(self.n, dtype=np.int64)))
         self._alive = np.asarray(arrays["alive"], bool)
-        self._orig = (jnp.asarray(arrays["orig"]).astype(
-            jnp.bfloat16 if jax.default_backend() == "tpu"
-            else jnp.float32)
-                      if "orig" in arrays else None)
+        self._orig_scale = (jnp.asarray(arrays["orig_scale"])
+                            if "orig_scale" in arrays else None)
+        if "orig" not in arrays:
+            self._orig = None
+        elif arrays["orig"].dtype == np.int8:
+            self._orig = jnp.asarray(arrays["orig"])
+        else:
+            self._orig = jnp.asarray(arrays["orig"]).astype(
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32)
+        self.orig_dtype = (None if self._orig is None else
+                           str(self._orig.dtype))
 
     def stats(self) -> Dict[str, Any]:
         counts = np.asarray(self._counts)

@@ -114,6 +114,19 @@ def quantize_gpt_params(params: Dict, *, lm_head: bool = True) -> Dict:
     return out
 
 
+def _cache_dtype(params):
+    """KV-cache storage dtype. At serving geometries the per-step KV
+    read dwarfs the weight read (B=128, 12L, cache 256: 2.4 GB/step vs
+    124 MB of int8 weights — measured 482 GB/s wall on v5e), so serving
+    configs (bf16 or int8 weights) store the cache in bf16, halving the
+    dominant HBM stream. f32 weights keep an f32 cache: the research
+    path stays bit-exact vs the no-cache oracle."""
+    w = params["blocks"][0]["w_qkv"]
+    if isinstance(w, tuple) or w.dtype in (jnp.bfloat16, jnp.float16):
+        return jnp.bfloat16
+    return w.dtype
+
+
 def _ln(x, g, b, eps=1e-5):                     # GPT-2 LayerNorm eps
     mu = jnp.mean(x, -1, keepdims=True)
     var = jnp.var(x, -1, keepdims=True)
@@ -192,8 +205,9 @@ def _prefill(params, ids, lens, heads, cache_len):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
         pad = ((0, 0), (0, 0), (0, cache_len - S), (0, 0))
-        ks.append(jnp.pad(kh, pad))
-        vs.append(jnp.pad(vh, pad))
+        cdt = _cache_dtype(params)
+        ks.append(jnp.pad(kh, pad).astype(cdt))
+        vs.append(jnp.pad(vh, pad).astype(cdt))
         s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                        preferred_element_type=jnp.float32) * scale
         s = jnp.where(mask, s, _NEG)
@@ -230,8 +244,9 @@ def _decode_step(params, cache, token, step, S, lens, heads):
         qkv = _mm(h, blk["w_qkv"]) + blk["b_qkv"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh = q.reshape(B, heads, dh)
-        kh = k.reshape(B, heads, 1, dh)
-        vh = v.reshape(B, heads, 1, dh)
+        cdt = cache["k"][li].dtype
+        kh = k.reshape(B, heads, 1, dh).astype(cdt)
+        vh = v.reshape(B, heads, 1, dh).astype(cdt)
         ck = jax.lax.dynamic_update_slice(cache["k"][li], kh,
                                           (0, 0, S + step, 0))
         cv = jax.lax.dynamic_update_slice(cache["v"][li], vh,

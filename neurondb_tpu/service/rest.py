@@ -30,9 +30,13 @@ class RESTServer:
         self.metrics = metrics or MetricsRegistry()
         self.collections: Dict[str, Any] = {}   # name -> index with .search
         self.collection_docs: Dict[str, list] = {}
+        self.batchers: Dict[str, Any] = {}      # name -> MicroBatcher
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"       # keep-alive: serving
+            # clients reuse connections; HTTP/1.0 resets them per request
+
             def log_message(self, *a):          # silence
                 pass
 
@@ -118,7 +122,9 @@ class RESTServer:
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
-                self.send_header("Connection", "keep-alive")
+                # no Content-Length on an event stream: close delimits
+                # the body (close_connection below enforces it server-side)
+                self.send_header("Connection", "close")
                 self.send_header("X-Accel-Buffering", "no")
                 self.end_headers()
                 try:
@@ -174,8 +180,12 @@ class RESTServer:
                                                         f"{name!r}"})
                         q = np.asarray(b["vector"], np.float32)
                         k = int(b.get("k", 10))
+                        bat = outer.batchers.get(name)
                         with outer.metrics.timer("search_seconds"):
-                            d, ids = idx.search(q, k=k)
+                            if bat is not None and q.ndim == 1:
+                                d, ids = bat.search(q, k=k)
+                            else:
+                                d, ids = idx.search(q, k=k)
                         return self._send(200, {
                             "ids": np.asarray(ids).tolist(),
                             "distances": np.asarray(d).tolist()})
@@ -194,9 +204,25 @@ class RESTServer:
     def add_collection(self, name: str, index) -> None:
         self.collections[name] = index
 
+    def enable_batching(self, name: str, *, window_ms: float = 10.0,
+                        max_batch: int = 4096, wire: str = "f32",
+                        pad_floor: int = 1, **search_kw) -> None:
+        """Route single-vector /api/v1/search requests for `name`
+        through a MicroBatcher (one device dispatch per 10 ms window
+        instead of one per HTTP request — see service/batcher.py)."""
+        from neurondb_tpu.service.batcher import MicroBatcher
+        self.batchers[name] = MicroBatcher(
+            self.collections[name], window_ms=window_ms,
+            max_batch=max_batch, wire=wire, pad_floor=pad_floor,
+            search_kw=search_kw)
+
     def start(self) -> int:
-        self._httpd = ThreadingHTTPServer((self.host, self.port),
-                                          self._handler)
+        # stdlib default listen backlog is 5; serving benches open
+        # dozens of connections at once and a full accept queue shows
+        # up client-side as connection resets
+        srv_cls = type("_RESTHTTPServer", (ThreadingHTTPServer,),
+                       {"request_queue_size": 128})
+        self._httpd = srv_cls((self.host, self.port), self._handler)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
@@ -207,3 +233,6 @@ class RESTServer:
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()
+        for b in self.batchers.values():
+            b.close()
+        self.batchers.clear()

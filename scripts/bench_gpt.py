@@ -61,7 +61,7 @@ def main() -> None:
     if dtype == "int8":
         params = quantize_gpt_params(params)
         w_bytes = n_mm          # 1 B/param on every matmul weight
-        kv_bytes = 4            # qkv come out of the int32->f32 epilogue
+        kv_bytes = 2            # serving cache is bf16 (_cache_dtype)
     else:
         dt = jnp.dtype(dtype)
         if dtype != "float32":
@@ -69,7 +69,7 @@ def main() -> None:
                 lambda a: a.astype(dt) if a.dtype == jnp.float32 else a,
                 params)
         w_bytes = n_mm * dt.itemsize
-        kv_bytes = dt.itemsize
+        kv_bytes = 2 if dtype != "float32" else 4   # _cache_dtype rule
     rng = np.random.default_rng(0)
     cache_len = prompt_len + max_new
 

@@ -71,10 +71,20 @@ def main():
 
     batch = int(os.environ.get("NDB_BENCH_BATCH", 8192))
     qbig = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
-    if os.environ.get("NDB_WIRE", "bfloat16") == "bfloat16":
+    # int8 query wire by default (VERDICT r3 item 6): the wire is
+    # index-agnostic client code (index/base.py as_batch); it won IVF
+    # 1.77x served QPS and recall below is measured THROUGH the wire
+    wire = os.environ.get("NDB_WIRE", "int8")
+    if wire == "bfloat16":
         import ml_dtypes
         qbig = qbig.astype(ml_dtypes.bfloat16)   # 2-byte query wire
         # (as_batch upcasts on device); recall measured through it
+    elif wire == "int8":
+        from neurondb_tpu.index.base import quantize_queries_int8
+        qbig = quantize_queries_int8(qbig)       # 1 B/dim + f32 scale
+    elif wire == "int12":
+        from neurondb_tpu.index.base import quantize_queries_int12
+        qbig = quantize_queries_int12(qbig)
     curve = []
     # (ef, expand, max_steps) operating points from the round-3 sweep
     # (ring visited set on TPU; recall converges by ~16 steps at ef=16)

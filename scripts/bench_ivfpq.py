@@ -27,6 +27,42 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _streaming_gt(x, q, k, cache_tag):
+    """Exact top-k over a corpus too big for device-resident f32
+    (>~2 GB): stream 512k-row f32 blocks through the chip, merge a
+    running top-k per block. One pass = n*d*4 bytes h2d; cached on
+    disk keyed by (n, d, tag) so bench re-runs skip it."""
+    import jax
+    import jax.numpy as jnp
+    from neurondb_tpu.ops import distance as D
+    from neurondb_tpu.ops import topk as TK
+    path = f"/tmp/ndb_gt_{cache_tag}_{x.shape[0]}x{x.shape[1]}_k{k}.npz"
+    if os.path.exists(path):
+        return np.load(path)["gt"]
+    qj = jnp.asarray(q)
+    bv = jnp.full((len(q), k), TK.NEG_FILL, jnp.float32)
+    bi = jnp.full((len(q), k), -1, jnp.int32)
+
+    @jax.jit
+    def step(bv, bi, xb, base):
+        d2 = D.pairwise_distance(qj, xb, "sqeuclidean")
+        cv, cpos = TK.topk_smallest(d2, k)
+        return TK.merge_topk(bv, bi, cv, base + cpos.astype(jnp.int32), k)
+
+    blk = 1 << 19
+    for s in range(0, x.shape[0], blk):
+        e = min(s + blk, x.shape[0])
+        xb = x[s:e]
+        if e - s < blk:                    # one compile shape
+            xb = np.concatenate(
+                [xb, np.full((blk - (e - s), x.shape[1]), 1e30,
+                             np.float32)])
+        bv, bi = step(bv, bi, jnp.asarray(xb), jnp.int32(s))
+    gt = np.asarray(bi)
+    np.savez(path, gt=gt)
+    return gt
+
+
 def main():
     import jax
     from bench import make_corpus
@@ -37,15 +73,22 @@ def main():
     nq = int(os.environ.get("NDB_BENCH_Q", 1024))
     batch = int(os.environ.get("NDB_BENCH_BATCH", 8192))
     nlists = int(os.environ.get("NDB_BENCH_NLISTS", min(1024, n)))
+    # >=16M rows: int8 rerank originals (1 B/dim + per-row scale) —
+    # bf16 at 40M x 128 would be 10.2 GB of HBM for the store alone
+    orig_dt = os.environ.get(
+        "NDB_PQ_ORIG", "int8" if n >= 16_000_000 else "bf16")
     d, k = 128, 10
     x = make_corpus(n, d)
     rng = np.random.default_rng(1)
     q = x[rng.choice(n, nq, replace=False)] + \
         0.02 * rng.standard_normal((nq, d)).astype(np.float32)
 
-    flat = FlatIndex(x)
-    _, gt = flat.search(q, k=k)
-    del flat
+    if n * d * 4 > 2e9:
+        gt = _streaming_gt(x, q, k, cache_tag="clustered")
+    else:
+        flat = FlatIndex(x)
+        _, gt = flat.search(q, k=k)
+        del flat
 
     qpad = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
     if os.environ.get("NDB_WIRE", "bfloat16") == "bfloat16":
@@ -70,20 +113,26 @@ def main():
             np.asarray(outs[-1][0][:1])
             samples.append(nbatches * batch / (time.time() - t0))
         samples.sort()
+        ob = 1 if orig_dt == "int8" else 2
         return {
             "metric": "ivfpq_qps", "value": round(samples[1], 1),
             "unit": "qps", "recall_at_10": round(r, 4), "nprobe": nprobe,
             "rerank": rerank, "n": n, "n_sub": idx.n_sub,
             "build_seconds": round(build_s, 1),
             "code_bytes": idx.code_bytes,
-            "rerank_store_mb": round(n * d * 2 / 1e6, 1),
+            "orig_dtype": orig_dt,
+            "rerank_store_mb": round(n * (d * ob + (4 if ob == 1 else 0))
+                                     / 1e6, 1),
+            "hbm_resident_mb": round(
+                (idx.code_bytes + n * (d * ob + (4 if ob == 1 else 0))
+                 + n * 4 + nlists * d * 4) / 1e6, 1),
             "compression": idx.stats()["compression"],
             "qps_samples": [round(s, 1) for s in samples]}
 
     # headline config: n_sub=32 (16x) + OPQ to the recall>=0.95 point
     t0 = time.time()
     idx = IVFPQIndex(x, nlists=nlists, n_sub=32, seed=0,
-                     keep_originals=True, opq=True)
+                     keep_originals=True, opq=True, orig_dtype=orig_dt)
     build_s = time.time() - t0
     chosen = None
     for nprobe, rerank in ((8, 8), (8, 16), (16, 16), (16, 24)):

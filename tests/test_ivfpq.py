@@ -41,6 +41,35 @@ def test_ivfpq_rerank_recovers_exact(corpus, queries):
     assert recall(ids, gt) > 0.95
 
 
+def test_ivfpq_int8_originals_rerank(corpus, queries):
+    """orig_dtype="int8" (the 30-50M-in-one-chip config, VERDICT r3
+    item 4): device-resident int8 corpus store + per-row scales feeds
+    both the build (labels/encode via on-device dequant) and the exact
+    rerank. Recall must match the bf16-originals path; the store is
+    1 B/dim."""
+    import jax.numpy as jnp
+    _, gt = FlatIndex(corpus).search(queries, k=10)
+    idx = IVFPQIndex(corpus, nlists=64, n_sub=16, seed=0,
+                     keep_originals=True, orig_dtype="int8")
+    assert idx._orig.dtype == jnp.int8
+    assert idx._orig_scale.shape == (len(corpus),)
+    _, ids = idx.search(queries, k=10, nprobe=16, rerank=8)
+    assert recall(ids, gt) > 0.95
+
+
+def test_ivfpq_int8_originals_save_load(tmp_path, corpus, queries):
+    import jax.numpy as jnp
+    idx = IVFPQIndex(corpus[:5000], nlists=32, n_sub=16, seed=0,
+                     keep_originals=True, orig_dtype="int8")
+    d0, i0 = idx.search(queries, k=5, nprobe=8, rerank=4)
+    idx.save(str(tmp_path / "ivfpq8"))
+    back = IVFPQIndex.load(str(tmp_path / "ivfpq8"))
+    assert back._orig.dtype == jnp.int8
+    d1, i1 = back.search(queries, k=5, nprobe=8, rerank=4)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+
+
 def test_ivfpq_ip_and_cosine(corpus, queries):
     for metric in ("ip", "cosine"):
         _, gt = FlatIndex(corpus, metric=metric).search(queries, k=10)

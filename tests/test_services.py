@@ -448,3 +448,48 @@ def test_rest_sse_error_event(rest_server):
         assert r.status == 200
         raw = r.read().decode()
     assert raw.startswith("event: error\n")
+
+
+def test_rest_microbatched_search(rest_server, rng):
+    """enable_batching routes concurrent single-vector searches through
+    ONE device dispatch per window (service/batcher.py); results must
+    match the direct per-request path exactly."""
+    import concurrent.futures as cf
+
+    srv, port = rest_server
+    from neurondb_tpu.index import FlatIndex
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    idx = FlatIndex(x)
+    srv.add_collection("default", idx)
+    srv.enable_batching("default", window_ms=20.0, max_batch=64)
+
+    qis = rng.integers(0, 200, 32)
+
+    def one(qi):
+        _, out = _req(port, "/api/v1/search",
+                      {"vector": x[int(qi)].tolist(), "k": 3})
+        return out["ids"]
+
+    with cf.ThreadPoolExecutor(16) as ex:
+        results = list(ex.map(one, qis))
+    for qi, ids in zip(qis, results):
+        assert ids[0] == int(qi)
+        d_ref, i_ref = idx.search(x[int(qi)], k=3)
+        assert list(np.asarray(i_ref).reshape(-1)) == list(ids)
+    bat = srv.batchers["default"]
+    assert bat.stats["requests"] == 32
+    assert bat.stats["batches"] < 32        # actually batched
+    assert bat.stats["max_rows"] > 1
+
+
+def test_microbatcher_error_fanout(rng):
+    from neurondb_tpu.service.batcher import MicroBatcher
+
+    class Boom:
+        def search(self, q, k=10, **kw):
+            raise ValueError("boom")
+
+    bat = MicroBatcher(Boom(), window_ms=1.0)
+    with pytest.raises(ValueError, match="boom"):
+        bat.search(np.zeros(4, np.float32), k=2)
+    bat.close()
