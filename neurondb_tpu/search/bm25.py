@@ -69,9 +69,11 @@ def _get_bm25_device_fn():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit,
-                       static_argnames=("n_docs", "seg", "max_segs"))
-    def scores_device(heavy_idx, term_off, term_cnt, post_doc, post_w,
-                      w_dense, *, n_docs: int, seg: int, max_segs: int):
+                       static_argnames=("n_docs", "seg", "max_segs",
+                                        "seg_tiny"))
+    def scores_device(heavy_idx, term_off, term_cnt, tiny_off, tiny_cnt,
+                      post_doc, post_w, w_dense, *, n_docs: int, seg: int,
+                      max_segs: int, seg_tiny: int):
         B, T = term_off.shape
         H = w_dense.shape[0]
         nnz = post_doc.shape[0]
@@ -96,26 +98,38 @@ def _get_bm25_device_fn():
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
         rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
-        col = jnp.arange(seg, dtype=jnp.int32)[None, :]
 
-        def term_step(sc, tcol):
-            off, cnt = tcol                            # [B] each
-            n_segs = jnp.minimum(
-                (jnp.max(cnt) + seg - 1) // seg, max_segs)
+        def make_term_step(width, msegs):
+            col = jnp.arange(width, dtype=jnp.int32)[None, :]
 
-            def seg_step(s, sc):
-                start = off + s * seg
-                rows = start[:, None] + col            # [B, seg]
-                ok = rows < (off + cnt)[:, None]
-                rs = jnp.clip(rows, 0, nnz - 1)
-                docs = jnp.where(ok, post_doc[rs], 0)
-                w = jnp.where(ok, post_w[rs], 0.0)
-                return sc.at[rowb, docs].add(w)
+            def term_step(sc, tcol):
+                off, cnt = tcol                        # [B] each
+                n_segs = jnp.minimum(
+                    (jnp.max(cnt) + width - 1) // width, msegs)
 
-            return jax.lax.fori_loop(0, n_segs, seg_step, sc), None
+                def seg_step(s, sc):
+                    start = off + s * width
+                    rows = start[:, None] + col        # [B, width]
+                    ok = rows < (off + cnt)[:, None]
+                    rs = jnp.clip(rows, 0, nnz - 1)
+                    docs = jnp.where(ok, post_doc[rs], 0)
+                    w = jnp.where(ok, post_w[rs], 0.0)
+                    return sc.at[rowb, docs].add(w)
 
-        scores, _ = jax.lax.scan(term_step, scores,
+                return jax.lax.fori_loop(0, n_segs, seg_step, sc), None
+
+            return term_step
+
+        scores, _ = jax.lax.scan(make_term_step(seg, max_segs), scores,
                                  (term_off.T, term_cnt.T))
+        # tiny tier: terms whose batch-max posting count fits one
+        # seg_tiny-wide segment (rare/id-like tokens, df ~ 1-few). The
+        # scatter's cost is B*width regardless of cnt, so a df=1 term in
+        # the wide scan wastes 2047/2048 of its updates; the narrow scan
+        # cuts that 8x (measured: the 1M-doc hybrid row's light tier is
+        # mostly df=1 tokens once the heavy tier covers the high-df set)
+        scores, _ = jax.lax.scan(make_term_step(seg_tiny, 1), scores,
+                                 (tiny_off.T, tiny_cnt.T))
         return scores
 
     return scores_device
@@ -267,15 +281,23 @@ class BM25Index:
     #: ([H, n_docs]); H = min(heavy_rows_cap, budget // row_bytes).
     #: Below ``heavy_bf16_from`` docs the tier is f32 (bit-parity with
     #: the host oracle within 1e-5); at/above it the rows are stored
-    #: bf16 — 2 B/doc instead of 4, so the same 200 MB budget holds 2x
-    #: the heavy terms (100 rows at 1M docs vs f32's 50) and the GEMM
+    #: bf16 — 2 B/doc instead of 4, so the same budget holds 2x the
+    #: heavy terms and the GEMM
     #: runs the MXU's native bf16 path. Weight rounding is ~2^-8
     #: relative — noise next to typical BM25 scores of 1-10, and the
     #: light tier's seg_cap truncation is already the larger
     #: at-scale approximation.
-    heavy_mb = 200
+    #: (512 MB bf16 = 256 rows at 1M docs; the marginal GEMM cost of a
+    #: heavy row is ~1 ms of extra weight reads per 512-query batch,
+    #: while the same term in the scatter tier costs ~60 ms per
+    #: 2048-posting segment — densify every df >= n_docs/256 term the
+    #: budget allows)
+    heavy_mb = 512
     heavy_rows_cap = 512
     heavy_bf16_from = 500_000
+    #: posting-count cut below which a light term routes to the narrow
+    #: (seg_tiny-wide) scatter scan instead of the seg-wide one
+    seg_tiny = 256
 
     def _ensure_device(self):
         if getattr(self, "_dev", None) is not None:
@@ -389,20 +411,25 @@ class BM25Index:
                 cnts = [cnts[i] for i in order]
             hv = [int(hrow[t]) for t in tis if hrow[t] >= 0]
             lo = [(o, c) for t, o, c in zip(tis, offs, cnts)
-                  if hrow[t] < 0]
-            split.append((hv, lo))
+                  if hrow[t] < 0 and c > self.seg_tiny]
+            ty = [(o, c) for t, o, c in zip(tis, offs, cnts)
+                  if hrow[t] < 0 and c <= self.seg_tiny]
+            split.append((hv, lo, ty))
         # bucket slot counts to powers of two (compile-shape stability)
         def bucket(nmax):
             b = 4
             while b < max(nmax, 1):
                 b *= 2
             return min(b, self.term_cap)
-        HT = bucket(max((len(h) for h, _ in split), default=1))
-        T = bucket(max((len(l) for _, l in split), default=1))
+        HT = bucket(max((len(h) for h, _, _ in split), default=1))
+        T = bucket(max((len(l) for _, l, _ in split), default=1))
+        TT = bucket(max((len(t) for _, _, t in split), default=1))
         hidx = np.full((B, HT), H, np.int32)   # H = "no term" sentinel
         off = np.zeros((B, T), np.int32)
         cnt = np.zeros((B, T), np.int32)
-        for b, (hv, lo) in enumerate(split):
+        toff = np.zeros((B, TT), np.int32)
+        tcnt = np.zeros((B, TT), np.int32)
+        for b, (hv, lo, ty) in enumerate(split):
             hidx[b, : min(len(hv), HT)] = hv[:HT]
             # align long posting lists across the batch: each scan
             # column's fori bound is the BATCH max count in that column,
@@ -413,6 +440,9 @@ class BM25Index:
             for j, (o, c) in enumerate(lo):
                 off[b, j] = o
                 cnt[b, j] = c
+            for j, (o, c) in enumerate(ty[:TT]):
+                toff[b, j] = o
+                tcnt[b, j] = c
         # pad B to a power of two (compile-shape stability)
         bpad = 1 << max((B - 1).bit_length(), 3)
         if bpad > B:
@@ -420,10 +450,14 @@ class BM25Index:
                           constant_values=H)
             off = np.pad(off, ((0, bpad - B), (0, 0)))
             cnt = np.pad(cnt, ((0, bpad - B), (0, 0)))
+            toff = np.pad(toff, ((0, bpad - B), (0, 0)))
+            tcnt = np.pad(tcnt, ((0, bpad - B), (0, 0)))
         out = dev["fn"](jnp.asarray(hidx), jnp.asarray(off),
-                        jnp.asarray(cnt), dev["post_doc"], dev["post_w"],
+                        jnp.asarray(cnt), jnp.asarray(toff),
+                        jnp.asarray(tcnt), dev["post_doc"], dev["post_w"],
                         dev["w_dense"], n_docs=self.n_docs,
-                        seg=dev["seg"], max_segs=dev["max_segs"])
+                        seg=dev["seg"], max_segs=dev["max_segs"],
+                        seg_tiny=self.seg_tiny)
         if return_device:
             return out[:B]
         return np.asarray(out)[:B]
