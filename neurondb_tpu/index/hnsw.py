@@ -158,6 +158,17 @@ def _use_network() -> bool:
     return False
 
 
+def _use_approx_merge() -> bool:
+    """Opt-in: NDB_BEAM_MERGE=approx replaces the beam-merge top_k with
+    lax.approx_min_k (TPU PartialReduce). The exact-scan A/B measured
+    PartialReduce 5.3x faster than TopK at [16384, 16384]
+    (IMPLEMENTATION_NOTES finding 12), but the beam merge reduces only
+    [B, ef+E*deg] (~48-64 columns) — the A/B decides whether the win
+    survives at that width (VERDICT r3 item 6)."""
+    import os
+    return os.environ.get("NDB_BEAM_MERGE", "").lower() == "approx"
+
+
 def _use_ring() -> bool:
     """Visited-set strategy for the QUERY path: the [B, W] expanded-id
     ring on TPU (the bitmap's gather + scatter-add runs on the scalar
@@ -180,10 +191,11 @@ def _use_ring() -> bool:
 @functools.partial(jax.jit,
                    static_argnames=("metric", "ef", "max_steps",
                                     "identity_map", "expand", "net",
-                                    "ring"))
+                                    "ring", "approx"))
 def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
                  metric: str, ef: int, max_steps: int, identity_map: bool,
-                 expand: int = 1, net: bool = True, ring: bool = False):
+                 expand: int = 1, net: bool = True, ring: bool = False,
+                 approx: bool = False):
     """ef-bounded best-first expansion at one level, whole batch in lockstep.
 
     q [B, D]; entry [B] local rows; nbr [Nc, deg] local adjacency (-1 pad);
@@ -358,8 +370,11 @@ def _beam_search(q, entry, vecs, sqnorms, nbr, rowmap, n_nodes, *,
             cat_i = jnp.concatenate([beam_i, nb_safe], axis=1)
             cat_e = jnp.concatenate(
                 [expanded, jnp.where(fresh, False, True)], axis=1)
-            negv, pos = jax.lax.top_k(-cat_d, ef)
-            beam_d = -negv
+            if approx:
+                beam_d, pos = jax.lax.approx_min_k(cat_d, ef)
+            else:
+                negv, pos = jax.lax.top_k(-cat_d, ef)
+                beam_d = -negv
             beam_i = jnp.take_along_axis(cat_i, pos, axis=1)
             expanded = jnp.take_along_axis(cat_e, pos, axis=1)
         beam_i = jnp.where(beam_d < INF, beam_i, -1)
@@ -866,11 +881,11 @@ def _wave_search(rows, entry, vecs, sqnorms, nbr0, uppers, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("metric", "ef", "max_steps", "expand",
-                                    "topr", "net", "ring"))
+                                    "topr", "net", "ring", "approx"))
 def _query_search_routed(q, centroids, reps, vecs, sqnorms, nbr0, *,
                          metric: str, ef: int, max_steps: int,
                          expand: int, topr: int, net: bool = True,
-                         ring: bool = False):
+                         ring: bool = False, approx: bool = False):
     """Query search with the centroid router (bulk-built indexes): one
     [B, C] GEMM picks the top-R coarse cells, their representative rows
     seed a multi-entry level-0 beam — no upper-level descent."""
@@ -885,15 +900,17 @@ def _query_search_routed(q, centroids, reps, vecs, sqnorms, nbr0, *,
     return _beam_search(
         q, entries, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
         metric=metric, ef=ef, max_steps=max_steps, identity_map=True,
-        expand=expand, net=net, ring=ring)
+        expand=expand, net=net, ring=ring, approx=approx)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("graph_top", "ef", "max_steps",
-                                    "metric", "expand", "net", "ring"))
+                                    "metric", "expand", "net", "ring",
+                                    "approx"))
 def _query_search(q, entry, vecs, sqnorms, nbr0, uppers, *,
                   graph_top: int, ef: int, max_steps: int, metric: str,
-                  expand: int, net: bool = True, ring: bool = False):
+                  expand: int, net: bool = True, ring: bool = False,
+                  approx: bool = False):
     """Query-time search as one program: greedy descent through the upper
     levels + level-0 beam. One dispatch + one sync per sub-batch."""
     B = q.shape[0]
@@ -907,7 +924,7 @@ def _query_search(q, entry, vecs, sqnorms, nbr0, uppers, *,
     return _beam_search(
         q, cur, vecs, sqnorms, nbr0, jnp.zeros((1,), jnp.int32), 0,
         metric=metric, ef=ef, max_steps=max_steps, identity_map=True,
-        expand=expand, net=net, ring=ring)
+        expand=expand, net=net, ring=ring, approx=approx)
 
 
 # ===========================================================================
@@ -1897,14 +1914,16 @@ class HNSWIndex(BaseIndex):
                     metric=self._imetric, ef=ef, max_steps=steps,
                     expand=expand, topr=min(router_topr, ef),
                     net=_use_network(),
-                    ring=_use_ring() and ef >= 12)
+                    ring=_use_ring() and ef >= 12,
+                    approx=_use_approx_merge())
             else:
                 bd, bi = _query_search(
                     qb, jnp.int32(self.entry), self._vecs, self._sqnorms,
                     self._nbr0, uppers, graph_top=self.entry_level, ef=ef,
                     max_steps=steps, metric=self._imetric, expand=expand,
                     net=_use_network(),
-                    ring=_use_ring() and ef >= 12)
+                    ring=_use_ring() and ef >= 12,
+                    approx=_use_approx_merge())
             keep = ef if not self._alive_np.all() else k
             outs_d.append(np.asarray(bd[:nb, :keep]))
             outs_i.append(np.asarray(bi[:nb, :keep]))
