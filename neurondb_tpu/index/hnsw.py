@@ -1160,9 +1160,16 @@ class HNSWIndex(BaseIndex):
             sq = jnp.sum(xs * xs, axis=1)
             kk = self.m + 8
             validS = jnp.arange(P, dtype=jnp.int32) < S
+            # recall_target routes the per-chunk top-k to the TPU
+            # PartialReduce (finding 12: 5.3x over XLA TopK at wide
+            # shapes — level-1 at 1M is a [65536, 16384]-chunk top-k).
+            # Upper graphs are heuristic routing structures (pruned and
+            # reverse-linked below); a 0.99-recall neighbor pool is the
+            # same class of approximation as the NN-descent level 0.
             _, nn_loc = TK.chunked_knn(
                 xs, xs, kk + 1, metric="ip" if self._imetric == "ip"
-                else "l2", chunk=min(P, 16384), valid=validS)
+                else "l2", chunk=min(P, 16384), valid=validS,
+                recall_target=0.99)
             sel_l = _bulk_prune_own(
                 _strip_selfhits(nn_loc.astype(jnp.int32), K=kk), xs, sq,
                 m=self.m, heuristic=self._heuristic, metric=self._imetric)

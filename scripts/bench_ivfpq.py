@@ -135,7 +135,14 @@ def main():
                      keep_originals=True, opq=True, orig_dtype=orig_dt)
     build_s = time.time() - t0
     chosen = None
-    for nprobe, rerank in ((8, 8), (8, 16), (16, 16), (16, 24)):
+    # sweep override, e.g. NDB_PQ_SWEEP="16:16,16:24,24:24" — at >=10M
+    # the right (nprobe, rerank) ladder depends on nlists (coverage of
+    # a natural cluster is nprobe/(nlists/256) on the clustered corpus)
+    sweep_env = os.environ.get("NDB_PQ_SWEEP")
+    sweep = (tuple(tuple(int(v) for v in p.split(":"))
+                   for p in sweep_env.split(",")) if sweep_env
+             else ((8, 8), (8, 16), (16, 16), (16, 24)))
+    for nprobe, rerank in sweep:
         row = measure(idx, build_s, nprobe, rerank)
         print(json.dumps(row), flush=True)
         if row["recall_at_10"] >= 0.95:
