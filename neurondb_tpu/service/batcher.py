@@ -14,6 +14,7 @@ ONE ``index.search`` dispatch, and fan back out to their waiters.
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 from typing import Any, Dict, List, Optional
@@ -38,7 +39,7 @@ class MicroBatcher:
 
     def __init__(self, index, *, window_ms: float = 10.0,
                  max_batch: int = 4096, wire: str = "f32",
-                 pad_floor: int = 1,
+                 pad_floor: int = 1, depth: int = 4,
                  search_kw: Optional[Dict[str, Any]] = None):
         self.index = index
         self.window = window_ms / 1000.0
@@ -54,9 +55,20 @@ class MicroBatcher:
         self._cond = threading.Condition()
         self._pending: List[Dict[str, Any]] = []
         self._closed = False
+        # dispatch/fan-out pipeline: index.search dispatches
+        # asynchronously (JAX), so the dispatch thread starts batch N+1
+        # while the device still computes batch N; the fan-out thread
+        # blocks on materialization and wakes the waiters. ``depth``
+        # bounds in-flight batches (backpressure keeps padded-row work
+        # from running ahead of the chip).
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="ndb-microbatcher")
+        self._fanout = threading.Thread(target=self._fanout_loop,
+                                        daemon=True,
+                                        name="ndb-microbatcher-out")
         self._thread.start()
+        self._fanout.start()
 
     # -- client side ----------------------------------------------------
     def search(self, vector, k: int = 10, timeout: float = 30.0):
@@ -80,6 +92,8 @@ class MicroBatcher:
             self._closed = True
             self._cond.notify()
         self._thread.join(timeout=5.0)
+        self._inflight.put(None)               # fan-out sentinel
+        self._fanout.join(timeout=5.0)
 
     # -- batcher side ---------------------------------------------------
     def _take_batch(self) -> List[Dict[str, Any]]:
@@ -103,15 +117,16 @@ class MicroBatcher:
         while True:
             batch = self._take_batch()
             if not batch:
+                self._inflight.put(None)       # wake + stop fan-out
                 return
             try:
-                self._run_batch(batch)
+                self._dispatch_batch(batch)
             except Exception as e:  # noqa: BLE001 — fan the error out
                 for r in batch:
                     r["err"] = e
                     r["ev"].set()
 
-    def _run_batch(self, batch: List[Dict[str, Any]]) -> None:
+    def _dispatch_batch(self, batch: List[Dict[str, Any]]) -> None:
         n = len(batch)
         rows = 1 << (n - 1).bit_length()          # pad to pow2 shape
         rows = min(max(rows, self.pad_floor), self.max_batch)
@@ -126,13 +141,29 @@ class MicroBatcher:
             qw: Any = quantize_queries_int8(q)
         else:
             qw = q
+        # JAX returns unmaterialized device arrays: this call queues the
+        # work and returns; the fan-out thread blocks on the values
         d, ids = self.index.search(qw, k=kmax, **self.search_kw)
-        d = np.asarray(d)
-        ids = np.asarray(ids)
         self.stats["batches"] += 1
         self.stats["requests"] += n
         self.stats["max_rows"] = max(self.stats["max_rows"], n)
-        for i, r in enumerate(batch):
-            r["d"] = d[i, :r["k"]]
-            r["ids"] = ids[i, :r["k"]]
-            r["ev"].set()
+        self._inflight.put((batch, d, ids))        # backpressure at depth
+
+    def _fanout_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            batch, d, ids = item
+            try:
+                d = np.asarray(d)                  # block until computed
+                ids = np.asarray(ids)
+            except Exception as e:  # noqa: BLE001
+                for r in batch:
+                    r["err"] = e
+                    r["ev"].set()
+                continue
+            for i, r in enumerate(batch):
+                r["d"] = d[i, :r["k"]]
+                r["ids"] = ids[i, :r["k"]]
+                r["ev"].set()
