@@ -181,10 +181,12 @@ def _ivf_search_exact(q, vecs, sqnorms, row_ids, offsets, counts, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric", "nprobe_pad", "qt"))
+                   static_argnames=("k", "metric", "nprobe_pad", "qt",
+                                    "pos_bits", "coarse_rt"))
 def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
                         nprobe, *, k: int, metric: str, nprobe_pad: int,
-                        qt: int = 0):
+                        qt: int = 0, pos_bits: int = 0,
+                        coarse_rt: float = 1.0):
     """TPU fast path (round 2): coarse centroid stage -> list-grouped
     fused scan (ops/pallas/ivf_scan_grouped.py) -> merge + id map, all as
     ONE jit. One posting-list DMA serves a whole tile of queries (vs one
@@ -201,7 +203,11 @@ def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
     nlists = counts.shape[0]
     cd = D.pairwise_distance(
         q, centroids, "sqeuclidean" if metric != "ip" else "ip")
-    _, probes = TK.topk_smallest(cd, npad)
+    # coarse_rt < 1.0 routes probe selection through the TPU-native
+    # PartialReduce (lax.approx_min_k) — probes are heuristic routing
+    # and recall is re-measured end-to-end, while exact lax.top_k at
+    # [B, nlists] was 1/3 of the whole search wall (profile_ivf.py)
+    _, probes = TK.topk_smallest(cd, npad, recall_target=coarse_rt)
     probes = probes.astype(jnp.int32)
     col = jnp.arange(npad, dtype=jnp.int32)[None, :]
     probes = jnp.where(col < nprobe, probes, nlists)
@@ -214,7 +220,8 @@ def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
     qpad = G._scatter_tuples(q, pos, npad=npad, qt=qt, t_max=t_max)
     out_d, out_i = G.grouped_probe_scan(
         qpad, vecs, tile_off, tile_cnt, kp=kp, qt=qt,
-        metric="ip" if metric == "ip" else "sqeuclidean")
+        metric="ip" if metric == "ip" else "sqeuclidean",
+        pos_bits=pos_bits)
     vals, rows = G.merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)
     return _ivf_post(vals, rows, row_ids, metric=metric)
 
@@ -482,12 +489,22 @@ class IVFFlatIndex(BaseIndex):
                     chunk=chunk, recall_target=recall_target)
             elif os.environ.get("NEURONDB_TPU_IVF_KERNEL", "grouped") == \
                     "grouped":
+                # packed-key selection: pos_bits must cover the longest
+                # list; past 14 bits the distance rounding (2**(pb-24)
+                # relative) stops being negligible, so fall back to the
+                # exact extraction. Floor of 11 buckets recompiles.
+                pb = max(11, (max(self.max_list, 2) - 1).bit_length())
+                if pb > 14 or os.environ.get(
+                        "NEURONDB_TPU_IVF_SELECT", "packed") != "packed":
+                    pb = 0
+                crt = float(os.environ.get("NEURONDB_TPU_COARSE_RT",
+                                           "0.99"))
                 vals, ids = _ivf_search_grouped(
                     q, self.centroids, self._vecs, self._ext_ids,
                     self._offsets, self._counts, jnp.int32(nprobe),
                     k=min(k, max(self.n, 1)),
                     metric=self.metric, nprobe_pad=max(npad, nprobe),
-                    qt=cfg.ivf_qt)
+                    qt=cfg.ivf_qt, pos_bits=pb, coarse_rt=crt)
             else:     # round-1 per-query-DMA kernel (fallback)
                 segs_b = 1
                 while segs_b < max_segs:

@@ -114,10 +114,12 @@ def _ivfpq_search_device(
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "nprobe_pad"))
+@functools.partial(jax.jit, static_argnames=("k", "metric", "nprobe_pad",
+                                             "pos_bits", "coarse_rt"))
 def _ivfpq_search_grouped(q, centroids, codebooks, R, codes_t, row_ids,
                           offsets, counts, nprobe, *, k: int, metric: str,
-                          nprobe_pad: int):
+                          nprobe_pad: int, pos_bits: int = 0,
+                          coarse_rt: float = 1.0):
     """TPU fast path, ONE jit (dispatch latency dominates chained jits on
     this backend): coarse centroid stage -> tuple grouping -> per-tuple
     ADC LUTs -> grouped Pallas scan -> cross-probe merge -> id map.
@@ -127,13 +129,14 @@ def _ivfpq_search_grouped(q, centroids, codebooks, R, codes_t, row_ids,
     nlists = counts.shape[0]
     cd = D.pairwise_distance(
         q, centroids, "sqeuclidean" if metric != "ip" else "ip")
-    _, probes = TK.topk_smallest(cd, nprobe_pad)
+    # approx probe selection: see ivf.py _ivf_search_grouped
+    _, probes = TK.topk_smallest(cd, nprobe_pad, recall_target=coarse_rt)
     probes = probes.astype(jnp.int32)
     col = jnp.arange(nprobe_pad, dtype=jnp.int32)[None, :]
     probes = jnp.where(col < nprobe, probes, nlists)
     vals, rows = PQS.ivfpq_grouped_search(
         q, probes, centroids, codebooks, codes_t, offsets, counts,
-        k=k, metric=metric, R=R)
+        k=k, metric=metric, R=R, pos_bits=pos_bits)
     ids = jnp.where(rows >= 0, row_ids[jnp.maximum(rows, 0)], -1)
     vals = jnp.where(ids >= 0, vals, TK.NEG_FILL)
     return vals, ids
@@ -141,11 +144,12 @@ def _ivfpq_search_grouped(q, centroids, codebooks, R, codes_t, row_ids,
 
 @functools.partial(
     jax.jit, static_argnames=("k", "coarse_k", "metric", "nprobe_pad",
-                              "orig_int8"))
+                              "orig_int8", "pos_bits", "coarse_rt"))
 def _ivfpq_search_grouped_rr(q, centroids, codebooks, R, codes_t, row_ids,
                              offsets, counts, orig, orig_scale, nprobe,
                              *, k: int, coarse_k: int, metric: str,
-                             nprobe_pad: int, orig_int8: bool = False):
+                             nprobe_pad: int, orig_int8: bool = False,
+                             pos_bits: int = 0, coarse_rt: float = 1.0):
     """Grouped ADC scan + EXACT rerank fused into ONE jit.
 
     Round-2 ran the rerank as eager ops after the search jit; on this
@@ -162,7 +166,8 @@ def _ivfpq_search_grouped_rr(q, centroids, codebooks, R, codes_t, row_ids,
     exact re-scoring of candidates)."""
     vals, ids = _ivfpq_search_grouped(
         q, centroids, codebooks, R, codes_t, row_ids, offsets, counts,
-        nprobe, k=coarse_k, metric=metric, nprobe_pad=nprobe_pad)
+        nprobe, k=coarse_k, metric=metric, nprobe_pad=nprobe_pad,
+        pos_bits=pos_bits, coarse_rt=coarse_rt)
     idsafe = jnp.maximum(ids, 0)
     if orig_int8:
         # int8 originals + per-row scale: the 30-50M-in-one-chip
@@ -443,6 +448,16 @@ class IVFPQIndex(BaseIndex):
                              # scales with npad (a pow-4 bucket at
                              # nprobe=8 paid the npad=16 grid, -45% QPS)
             npad = min(npad, self.nlists)
+            # packed-key selection: ADC distances carry PQ quantization
+            # error and the top candidates are re-ranked on originals,
+            # so the gate admits longer lists (<=16 bits of in-list
+            # position) than the flat kernel's exactness-minded 14
+            import os as _os
+            pb = max(11, (max(self.max_list, 2) - 1).bit_length())
+            if pb > 16 or _os.environ.get(
+                    "NEURONDB_TPU_IVF_SELECT", "packed") != "packed":
+                pb = 0
+            crt = float(_os.environ.get("NEURONDB_TPU_COARSE_RT", "0.99"))
             if rerank:
                 oint8 = self._orig.dtype == jnp.int8
                 vals, rows = _ivfpq_search_grouped_rr(
@@ -452,14 +467,16 @@ class IVFPQIndex(BaseIndex):
                     self._orig_scale if oint8 else jnp.zeros(1),
                     jnp.int32(nprobe), k=kk,
                     coarse_k=coarse_k, metric=metric,
-                    nprobe_pad=max(npad, nprobe), orig_int8=oint8)
+                    nprobe_pad=max(npad, nprobe), orig_int8=oint8,
+                    pos_bits=pb, coarse_rt=crt)
                 rerank = 0                     # already reranked in-jit
             else:
                 vals, rows = _ivfpq_search_grouped(
                     q, self.centroids, self.codebooks, self._R_or_eye(),
                     self._codes_t, self._row_ids, self._offsets,
                     self._counts, jnp.int32(nprobe), k=coarse_k,
-                    metric=metric, nprobe_pad=max(npad, nprobe))
+                    metric=metric, nprobe_pad=max(npad, nprobe),
+                    pos_bits=pb, coarse_rt=crt)
         else:
             if self._codes is None:            # derived once from codes_t
                 self._codes = jnp.asarray(self._codes_t.T)

@@ -127,6 +127,39 @@ def _cache_dtype(params):
     return w.dtype
 
 
+def _quant_kv(t):
+    """Per-token-per-head symmetric int8 KV quantization: t [..., dh]
+    f32/bf16 -> (codes int8 [..., dh], scales f32 [...]). At serving
+    geometries the per-step KV read is the dominant HBM stream (B=128,
+    cache 256: 1.21 GB/step vs 124 MB int8 weights), so storing the
+    cache at 1 B/elem halves what bf16 already halved; the scales add
+    1/dh overhead. Dequant is a rank-1 rescale XLA fuses into the
+    attention dot's operand load."""
+    t = t.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(t), axis=-1) / 127.0, 1e-12)
+    codes = jnp.round(t / s[..., None]).astype(jnp.int8)
+    return codes, s
+
+
+def _dequant_kv(entry):
+    if isinstance(entry, tuple):
+        codes, s = entry
+        return codes.astype(jnp.bfloat16) * s.astype(jnp.bfloat16)[..., None]
+    return entry
+
+
+def _cache_update(entry, t, pos):
+    """Write one new token's [B, H, 1, dh] KV at sequence index ``pos``
+    (traced) into a cache entry — array or (codes, scales) pair."""
+    if isinstance(entry, tuple):
+        codes, sc = entry
+        tc, ts = _quant_kv(t)
+        return (jax.lax.dynamic_update_slice(codes, tc, (0, 0, pos, 0)),
+                jax.lax.dynamic_update_slice(sc, ts, (0, 0, pos)))
+    return jax.lax.dynamic_update_slice(entry, t.astype(entry.dtype),
+                                        (0, 0, pos, 0))
+
+
 def _ln(x, g, b, eps=1e-5):                     # GPT-2 LayerNorm eps
     mu = jnp.mean(x, -1, keepdims=True)
     var = jnp.var(x, -1, keepdims=True)
@@ -187,9 +220,11 @@ def gpt_logits(params: Dict, ids: jax.Array, *, heads: int,
 # KV-cache decode
 # ---------------------------------------------------------------------------
 
-def _prefill(params, ids, lens, heads, cache_len):
+def _prefill(params, ids, lens, heads, cache_len, kv_int8=False):
     """Forward over the prompt, returning per-layer KV caches padded to
-    ``cache_len`` and the last valid token's hidden logits."""
+    ``cache_len`` and the last valid token's hidden logits. With
+    ``kv_int8`` each cache entry is an ``(int8 codes, f32 scales)``
+    pair from :func:`_quant_kv` instead of a bf16/f32 array."""
     B, S = ids.shape
     valid = jnp.arange(S)[None, :] >= (S - lens)[:, None]
     pos = jnp.clip(jnp.cumsum(valid, axis=1) - 1, 0)
@@ -205,9 +240,13 @@ def _prefill(params, ids, lens, heads, cache_len):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
         pad = ((0, 0), (0, 0), (0, cache_len - S), (0, 0))
-        cdt = _cache_dtype(params)
-        ks.append(jnp.pad(kh, pad).astype(cdt))
-        vs.append(jnp.pad(vh, pad).astype(cdt))
+        if kv_int8:
+            ks.append(_quant_kv(jnp.pad(kh, pad)))
+            vs.append(_quant_kv(jnp.pad(vh, pad)))
+        else:
+            cdt = _cache_dtype(params)
+            ks.append(jnp.pad(kh, pad).astype(cdt))
+            vs.append(jnp.pad(vh, pad).astype(cdt))
         s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                        preferred_element_type=jnp.float32) * scale
         s = jnp.where(mask, s, _NEG)
@@ -235,7 +274,8 @@ def _decode_step(params, cache, token, step, S, lens, heads):
     H = x.shape[-1]
     dh = H // heads
     scale = 1.0 / jnp.sqrt(jnp.float32(dh))
-    P = cache["k"][0].shape[2]
+    e0 = cache["k"][0]
+    P = (e0[0] if isinstance(e0, tuple) else e0).shape[2]
     j = jnp.arange(P)
     visible = ((j[None, :] >= (S - lens)[:, None]) & (j[None, :] <= S + step))
     new_k, new_v = [], []
@@ -244,20 +284,17 @@ def _decode_step(params, cache, token, step, S, lens, heads):
         qkv = _mm(h, blk["w_qkv"]) + blk["b_qkv"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh = q.reshape(B, heads, dh)
-        cdt = cache["k"][li].dtype
-        kh = k.reshape(B, heads, 1, dh).astype(cdt)
-        vh = v.reshape(B, heads, 1, dh).astype(cdt)
-        ck = jax.lax.dynamic_update_slice(cache["k"][li], kh,
-                                          (0, 0, S + step, 0))
-        cv = jax.lax.dynamic_update_slice(cache["v"][li], vh,
-                                          (0, 0, S + step, 0))
+        kh = k.reshape(B, heads, 1, dh)
+        vh = v.reshape(B, heads, 1, dh)
+        ck = _cache_update(cache["k"][li], kh, S + step)
+        cv = _cache_update(cache["v"][li], vh, S + step)
         new_k.append(ck)
         new_v.append(cv)
-        s = jnp.einsum("bhd,bhkd->bhk", qh, ck,
+        s = jnp.einsum("bhd,bhkd->bhk", qh, _dequant_kv(ck),
                        preferred_element_type=jnp.float32) * scale
         s = jnp.where(visible[:, None, :], s, _NEG)
         a = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("bhk,bhkd->bhd", a, cv,
+        o = jnp.einsum("bhk,bhkd->bhd", a, _dequant_kv(cv),
                        preferred_element_type=jnp.float32)
         att = o.reshape(B, H)
         x = x + _mm(att, blk["w_o"]) + blk["b_o"]
@@ -301,30 +338,34 @@ def _sample(logits, key, temperature, top_k, top_p, do_sample):
 
 def generate_ids(params: Dict, ids, lens, key, *, heads: int, max_new: int,
                  cache_len: int, temperature: float = 0.0, top_k: int = 0,
-                 top_p: float = 1.0,
-                 eos_id: int = -1) -> Tuple[jax.Array, jax.Array]:
+                 top_p: float = 1.0, eos_id: int = -1,
+                 kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
     """ids [B, S] LEFT-padded prompts (lens [B] valid suffix lengths) ->
     (tokens [B, max_new], n_valid [B]). One prefill + one lax.scan; rows
     that emit ``eos_id`` keep emitting it (n_valid counts through the
     first eos). The sampling structure is specialized at trace time:
-    temperature <= 0 compiles a pure-argmax decode."""
+    temperature <= 0 compiles a pure-argmax decode. ``kv_int8`` stores
+    the KV cache as (int8 codes, per-token f32 scales) — the serving
+    option when the per-step KV read dominates HBM traffic."""
     return _generate_ids(params, jnp.asarray(ids), jnp.asarray(lens), key,
                          heads=heads, max_new=max_new, cache_len=cache_len,
                          temperature=float(temperature), top_k=top_k,
                          top_p=top_p, eos_id=eos_id,
-                         do_sample=float(temperature) > 0.0)
+                         do_sample=float(temperature) > 0.0,
+                         kv_int8=bool(kv_int8))
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "max_new", "top_k",
                                              "cache_len", "eos_id",
-                                             "do_sample"))
+                                             "do_sample", "kv_int8"))
 def _generate_ids(params: Dict, ids: jax.Array, lens: jax.Array,
                   key: jax.Array, *, heads: int, max_new: int,
                   cache_len: int, temperature: float, top_k: int,
-                  top_p: float, eos_id: int,
-                  do_sample: bool) -> Tuple[jax.Array, jax.Array]:
+                  top_p: float, eos_id: int, do_sample: bool,
+                  kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
     B, S = ids.shape
-    logits0, cache = _prefill(params, ids, lens, heads, cache_len)
+    logits0, cache = _prefill(params, ids, lens, heads, cache_len,
+                              kv_int8=kv_int8)
     temperature = jnp.float32(temperature)
     top_p = jnp.float32(top_p)
 
@@ -422,7 +463,15 @@ class GPT2LM:
 
     def __init__(self, params: Dict, tokenizer, heads: int,
                  eos_id: Optional[int] = None,
-                 dtype: Optional[str] = None):
+                 dtype: Optional[str] = None,
+                 kv_dtype: Optional[str] = None):
+        if kv_dtype not in (None, "auto", "int8"):
+            raise ValueError(f"kv_dtype must be None/'auto'/'int8', "
+                             f"got {kv_dtype!r}")
+        # int8 KV cache: opt-in serving mode (per-token quantization of
+        # the dominant HBM stream); None/'auto' keeps bf16 (serving
+        # dtypes) or f32 (research path) via _cache_dtype.
+        self.kv_int8 = kv_dtype == "int8"
         if dtype == "int8":
             # W8A8 serving mode: matmul weights quantized per output
             # channel (quantize_gpt_params); embeddings/biases/ln stay
@@ -441,11 +490,12 @@ class GPT2LM:
         self.max_len = int(params["wpe"].shape[0])
 
     @classmethod
-    def from_dir(cls, path: str, dtype: Optional[str] = "bfloat16") \
-            -> "GPT2LM":
+    def from_dir(cls, path: str, dtype: Optional[str] = "bfloat16",
+                 kv_dtype: Optional[str] = None) -> "GPT2LM":
         """``dtype="bfloat16"`` (default) halves weight HBM traffic —
         measured ~10-15% decode throughput at GPT-2-small geometry with
-        f32 attention/softmax accumulation; pass None for exact f32."""
+        f32 attention/softmax accumulation; pass None for exact f32.
+        ``kv_dtype="int8"`` opts the KV cache into per-token int8."""
         import json
         import os
         from neurondb_tpu.ml.bpe import BPETokenizer
@@ -453,7 +503,8 @@ class GPT2LM:
             cfg = json.load(f)
         tok = BPETokenizer.from_dir(path)
         params = load_gpt_npz(os.path.join(path, "weights.npz"))
-        return cls(params, tok, heads=int(cfg["heads"]), dtype=dtype)
+        return cls(params, tok, heads=int(cfg["heads"]), dtype=dtype,
+                   kv_dtype=kv_dtype)
 
     @classmethod
     def random_init(cls, *, vocab_size=257, hidden=64, layers=2, heads=2,
@@ -498,7 +549,8 @@ class GPT2LM:
             jax.random.PRNGKey(seed), heads=self.heads,
             max_new=max_tokens, cache_len=cache_len,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            eos_id=-1 if self.eos_id is None else int(self.eos_id))
+            eos_id=-1 if self.eos_id is None else int(self.eos_id),
+            kv_int8=self.kv_int8)
         toks = np.asarray(toks)
         n_valid = np.asarray(n_valid)
         return [self.tok.decode(toks[b, :n_valid[b]]) for b in range(B)]

@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 SEG = 1024        # rows per DMA segment (256 KB bf16 at D=128)
 QT = 16           # queries per tile (shared-list DMA amortization)
 NEG_FILL = float(jnp.finfo(jnp.float32).max)
+INT_FILL = 0x7FFFFFFF  # packed-key sentinel (int32 max)
 
 
 def tiles_for(b: int, npad: int, nlists: int, qt: int = QT) -> int:
@@ -99,7 +100,7 @@ def group_probes(probes, offsets, counts, *, qt: int, t_max: int):
 
 def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
                          out_d_ref, out_i_ref, vmem_buf, sem, par_ref,
-                         *, kp: int, metric: str):
+                         *, kp: int, metric: str, pos_bits: int = 0):
     t = pl.program_id(0)
     T = pl.num_programs(0)
     qt = q_ref.shape[0]                              # queries per tile
@@ -172,6 +173,46 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
                                       preferred_element_type=jnp.float32)
             d = jnp.maximum(qsq_col + xsq - 2.0 * dots, 0.0)
         valid = (s * SEG + col) < cnt
+
+        if pos_bits:
+            # Packed-key selection (round 4): the kp rounds of
+            # argmin+onehot+masked-sum below cost ~5 VPU passes over
+            # [qt, kp+SEG] per extracted element and dominated the
+            # kernel window (measured 6.3 us/tile where the DMA bound
+            # is ~0.3 us — profile_ivf.py). Pack (distance, position)
+            # into ONE int32: monotonic float->int key bits rounded to
+            # a multiple of 2**pos_bits, position in the low bits.
+            # Extraction becomes min + equality-mask (2 passes), ids
+            # decode for free, and uniqueness of positions makes the
+            # equality mask remove exactly one element. Costs
+            # <= 2**(pos_bits-24) relative distance error — below the
+            # bf16 storage rounding already in the dots.
+            b = jax.lax.bitcast_convert_type(d, jnp.int32)
+            key = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))   # monotonic
+            half = jnp.int32(1 << (pos_bits - 1))
+            mask_hi = jnp.int32(-(1 << pos_bits))
+            pos32 = s * SEG + col                           # unique/tile
+            key = ((key + half) & mask_hi) | pos32
+            key = jnp.where(valid, key, INT_FILL)
+
+            # extraction works the [qt, SEG] buffer (lane-aligned: SEG
+            # is a multiple of 128) and the tiny [qt, kp] running keys
+            # SEPARATELY — concatenating them made every pass 1034 wide
+            # and unaligned
+            def pick(j, st):
+                ck, rk, nk = st
+                v = jnp.minimum(jnp.min(ck, axis=1, keepdims=True),
+                                jnp.min(rk, axis=1, keepdims=True))
+                nk = jnp.where(iota_k == j, v, nk)
+                ck = jnp.where(ck == v, INT_FILL, ck)
+                rk = jnp.where(rk == v, INT_FILL, rk)
+                return ck, rk, nk
+
+            _, _, new_k = jax.lax.fori_loop(
+                0, kp, pick, (key, run_d,
+                              jnp.full((qt, kp), INT_FILL, jnp.int32)))
+            return new_k, run_i
+
         d = jnp.where(valid, d, NEG_FILL)
         ids = jnp.where(valid, off + s * SEG + col, -1)
 
@@ -197,11 +238,23 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
              jnp.full((qt, kp), -1, jnp.int32)))
         return new_d, new_i
 
-    init = (jnp.full((qt, kp), NEG_FILL, jnp.float32),
-            jnp.full((qt, kp), -1, jnp.int32))
-    run_d, run_i = jax.lax.fori_loop(0, n_segs, seg_body, init)
-    out_d_ref[0] = run_d
-    out_i_ref[0] = run_i
+    if pos_bits:
+        init = (jnp.full((qt, kp), INT_FILL, jnp.int32),
+                jnp.full((qt, kp), -1, jnp.int32))
+        run_k, _ = jax.lax.fori_loop(0, n_segs, seg_body, init)
+        invalid = run_k == INT_FILL
+        posk = run_k & jnp.int32((1 << pos_bits) - 1)
+        kb = run_k & jnp.int32(-(1 << pos_bits))
+        db = kb ^ ((kb >> 31) & jnp.int32(0x7FFFFFFF))
+        dist = jax.lax.bitcast_convert_type(db, jnp.float32)
+        out_d_ref[0] = jnp.where(invalid, NEG_FILL, dist)
+        out_i_ref[0] = jnp.where(invalid, -1, off + posk)
+    else:
+        init = (jnp.full((qt, kp), NEG_FILL, jnp.float32),
+                jnp.full((qt, kp), -1, jnp.int32))
+        run_d, run_i = jax.lax.fori_loop(0, n_segs, seg_body, init)
+        out_d_ref[0] = run_d
+        out_i_ref[0] = run_i
 
     # dead cell: nothing in flight for us; pass the prefetch baton so the
     # next live tile's seg0 is started (parity unchanged)
@@ -215,13 +268,21 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kp", "metric", "qt", "interpret"))
+                   static_argnames=("kp", "metric", "qt", "interpret",
+                                    "pos_bits"))
 def grouped_probe_scan(qpad, vecs, tile_off, tile_cnt, *,
                        kp: int, metric: str = "sqeuclidean",
-                       qt: int = QT, interpret: bool = False):
+                       qt: int = QT, interpret: bool = False,
+                       pos_bits: int = 0):
     """qpad [T*qt, D] f32 tile-packed queries; vecs [Npad, D]
     cluster-contiguous (f32 or bf16); tile_off/tile_cnt [T] int32.
     Returns (dists [T, qt, kp], csr_rows [T, qt, kp]).
+
+    ``pos_bits > 0`` enables packed-key selection (~2.5x fewer VPU
+    passes in the per-tile top-kp; see the kernel comment): it must
+    satisfy ``2**pos_bits >= max list rows`` so every in-list position
+    fits the low bits, and costs <= 2**(pos_bits-24) relative distance
+    rounding. 0 keeps the exact argmin extraction.
 
     CALLER CONTRACT (same as ivf_scan.py): vecs padded >= SEG rows past
     the last list; list offsets 32-row aligned.
@@ -248,7 +309,8 @@ def grouped_probe_scan(qpad, vecs, tile_off, tile_cnt, *,
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    kern = functools.partial(_grouped_scan_kernel, kp=kp, metric=metric)
+    kern = functools.partial(_grouped_scan_kernel, kp=kp, metric=metric,
+                             pos_bits=pos_bits)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -277,7 +339,7 @@ def merge_partials(out_d, out_i, pos, *, k: int):
 
 def ivf_grouped_search(q, probes, vecs, offsets, counts, *, k: int,
                        metric: str = "sqeuclidean", qt: int = QT,
-                       interpret: bool = False):
+                       interpret: bool = False, pos_bits: int = 0):
     """Full grouped pipeline: probes [B, npad] list ids (sentinel =
     nlists in padding slots). Returns (dists [B, k], csr_rows [B, k])."""
     B, npad = probes.shape
@@ -289,7 +351,8 @@ def ivf_grouped_search(q, probes, vecs, offsets, counts, *, k: int,
     qpad = _scatter_tuples(q, pos, npad=npad, qt=qt, t_max=t_max)
     out_d, out_i = grouped_probe_scan(qpad, vecs, tile_off, tile_cnt,
                                       kp=kp, metric=metric, qt=qt,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      pos_bits=pos_bits)
     return merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)
 
 

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from neurondb_tpu.ops.pallas.ivf_scan_grouped import (  # noqa: F401
+    INT_FILL,
     NEG_FILL,
     QT,
     group_probes,
@@ -58,7 +59,7 @@ def _sub_for(ns: int) -> int:
 
 def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
                     out_d_ref, out_i_ref, vmem_buf, sem, par_ref,
-                    *, kp: int, sub: int = SUB):
+                    *, kp: int, sub: int = SUB, pos_bits: int = 0):
     t = pl.program_id(0)
     T = pl.num_programs(0)
 
@@ -124,6 +125,40 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
                                     preferred_element_type=jnp.float32)
             base = s * SEG + u * sub
             valid = (base + col_sub) < cnt
+
+            if pos_bits:
+                # packed-key selection (see ivf_scan_grouped.py): the
+                # argmin+onehot rounds below are ~5 VPU passes per
+                # extracted element; the packed path is min + equality
+                # mask. ADC distances are already PQ-approximate and
+                # the top candidates are re-ranked on originals, so the
+                # <= 2**(pos_bits-24) relative key rounding is far
+                # below the quantization error it rides on.
+                bts = jax.lax.bitcast_convert_type(d, jnp.int32)
+                key = bts ^ ((bts >> 31) & jnp.int32(0x7FFFFFFF))
+                half = jnp.int32(1 << (pos_bits - 1))
+                mask_hi = jnp.int32(-(1 << pos_bits))
+                key = ((key + half) & mask_hi) | (base + col_sub)
+                key = jnp.where(valid, key, INT_FILL)
+
+                # aligned [qt, sub] buffer and tiny [qt, kp] running
+                # keys extracted separately (no unaligned concat; see
+                # ivf_scan_grouped.py)
+                def pick(j, st):
+                    ck, rk, nk = st
+                    v = jnp.minimum(jnp.min(ck, axis=1, keepdims=True),
+                                    jnp.min(rk, axis=1, keepdims=True))
+                    nk = jnp.where(iota_kp == j, v, nk)
+                    ck = jnp.where(ck == v, INT_FILL, ck)
+                    rk = jnp.where(rk == v, INT_FILL, rk)
+                    return ck, rk, nk
+
+                _, _, new_k = jax.lax.fori_loop(
+                    0, kp, pick, (key, run_d,
+                                  jnp.full((qt, kp), INT_FILL,
+                                           jnp.int32)))
+                return new_k, run_i
+
             d = jnp.where(valid, d, NEG_FILL)
             ids = jnp.where(valid, off + base + col_sub, -1)
 
@@ -151,11 +186,23 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
 
         return jax.lax.fori_loop(0, SEG // sub, sub_body, carry)
 
-    init = (jnp.full((qt, kp), NEG_FILL, jnp.float32),
-            jnp.full((qt, kp), -1, jnp.int32))
-    run_d, run_i = jax.lax.fori_loop(0, n_segs, seg_body, init)
-    out_d_ref[0] = run_d
-    out_i_ref[0] = run_i
+    if pos_bits:
+        init = (jnp.full((qt, kp), INT_FILL, jnp.int32),
+                jnp.full((qt, kp), -1, jnp.int32))
+        run_k, _ = jax.lax.fori_loop(0, n_segs, seg_body, init)
+        invalid = run_k == INT_FILL
+        posk = run_k & jnp.int32((1 << pos_bits) - 1)
+        kb = run_k & jnp.int32(-(1 << pos_bits))
+        db = kb ^ ((kb >> 31) & jnp.int32(0x7FFFFFFF))
+        dist = jax.lax.bitcast_convert_type(db, jnp.float32)
+        out_d_ref[0] = jnp.where(invalid, NEG_FILL, dist)
+        out_i_ref[0] = jnp.where(invalid, -1, off + posk)
+    else:
+        init = (jnp.full((qt, kp), NEG_FILL, jnp.float32),
+                jnp.full((qt, kp), -1, jnp.int32))
+        run_d, run_i = jax.lax.fori_loop(0, n_segs, seg_body, init)
+        out_d_ref[0] = run_d
+        out_i_ref[0] = run_i
 
     @pl.when((cnt == 0) & (t + 1 < T))
     def _():
@@ -166,9 +213,11 @@ def _pq_scan_kernel(off_ref, cnt_ref, lut_ref, codes_hbm,
     par_ref[0] = (p0 + n_segs) % 2
 
 
-@functools.partial(jax.jit, static_argnames=("kp", "qt", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kp", "qt", "interpret",
+                                             "pos_bits"))
 def grouped_pq_scan(lutpad, codes_t, tile_off, tile_cnt, *,
-                    kp: int, qt: int = QT, interpret: bool = False):
+                    kp: int, qt: int = QT, interpret: bool = False,
+                    pos_bits: int = 0):
     """lutpad [T*qt, n_sub*KS] f32 (per-slot constant pre-folded: every
     entry carries const/n_sub); codes_t [n_sub, Npad] uint8
     subspace-major; tile_off / tile_cnt [T]. Returns
@@ -196,7 +245,8 @@ def grouped_pq_scan(lutpad, codes_t, tile_off, tile_cnt, *,
         ],
     )
     kern = functools.partial(_pq_scan_kernel, kp=kp,
-                             sub=_sub_for(codes_t.shape[0]))
+                             sub=_sub_for(codes_t.shape[0]),
+                             pos_bits=pos_bits)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -251,7 +301,8 @@ def build_luts(q, probes, centroids, codebooks, pos, R=None, *,
 def ivfpq_grouped_search(q, probes, centroids, codebooks, codes_t,
                          offsets, counts, *, k: int,
                          metric: str = "sqeuclidean", qt: int = 0,
-                         interpret: bool = False, R=None):
+                         interpret: bool = False, R=None,
+                         pos_bits: int = 0):
     """Full grouped IVF-PQ pipeline. probes [B, npad] list ids (sentinel
     = nlists in padding slots). Returns (dists [B, k], csr_rows [B, k])."""
     from neurondb_tpu.ops.pallas.ivf_scan_grouped import auto_qt
@@ -267,5 +318,6 @@ def ivfpq_grouped_search(q, probes, centroids, codebooks, codes_t,
         t_max=t_max, metric=metric)
     out_d, out_i = grouped_pq_scan(lutpad, codes_t, tile_off,
                                    tile_cnt, kp=kp, qt=qt,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   pos_bits=pos_bits)
     return merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)

@@ -22,6 +22,9 @@ is a lower bound on HBM traffic (activations and the lm-head logits
 are small next to it at these geometries).
 
   NDB_GPT_DTYPE=int8 NDB_GPT_SWEEP=8,32,128 python scripts/bench_gpt.py
+
+NDB_GPT_KV=int8 additionally stores the KV cache as (int8 codes,
+per-token f32 scales) — kv_bytes drops to ~1.06 (1 + 4/head_dim).
 """
 
 import json
@@ -44,6 +47,7 @@ def main() -> None:
     sweep = [int(b) for b in os.environ.get(
         "NDB_GPT_SWEEP", os.environ.get("NDB_GPT_B", "32")).split(",")]
     dtype = os.environ.get("NDB_GPT_DTYPE", "bfloat16")  # serving default
+    kv_int8 = os.environ.get("NDB_GPT_KV", "") == "int8"
 
     import jax
     import jax.numpy as jnp
@@ -70,6 +74,8 @@ def main() -> None:
                 params)
         w_bytes = n_mm * dt.itemsize
         kv_bytes = 2 if dtype != "float32" else 4   # _cache_dtype rule
+    if kv_int8:
+        kv_bytes = 1.0 + 4.0 / (hidden // heads)    # codes + f32 scales
     rng = np.random.default_rng(0)
     cache_len = prompt_len + max_new
 
@@ -83,7 +89,7 @@ def main() -> None:
             toks, _ = generate_ids(
                 params, ids, lens, jax.random.PRNGKey(seed), heads=heads,
                 max_new=max_new, cache_len=cache_len, temperature=0.8,
-                top_k=40, top_p=0.95)
+                top_k=40, top_p=0.95, kv_int8=kv_int8)
             np.asarray(toks)              # value fetch = true barrier
             return time.perf_counter() - t0
 
@@ -111,7 +117,8 @@ def main() -> None:
         "unit": "tokens/s",
         "config": {"layers": layers, "hidden": hidden, "heads": heads,
                    "batch": best["batch"], "prompt": prompt_len,
-                   "new": max_new, "dtype": dtype},
+                   "new": max_new, "dtype": dtype,
+                   "kv": "int8" if kv_int8 else "default"},
         "seconds_per_gen_median": best["seconds_per_gen_median"],
         "ms_per_token_step": best["ms_per_token_step"],
         "achieved_gb_s": best["achieved_gb_s"],

@@ -151,6 +151,37 @@ def test_kv_cache_decode_matches_full_forward(hf_pair):
     assert int(np.asarray(n)[0]) == 8               # no eos hit
 
 
+def test_int8_kv_cache_decode(hf_pair):
+    """The int8 KV cache (per-token, per-head symmetric quantization of
+    the dominant decode HBM stream) must (a) bound the cache dequant
+    error by half a quantization step and (b) greedy-decode the same
+    tokens as the exact cache on this geometry."""
+    from neurondb_tpu.ml.gpt import _dequant_kv, _prefill
+    _, params, cfg = hf_pair
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(0, cfg.vocab_size, 9).tolist()
+    ids = jnp.asarray([prompt], jnp.int32)
+    lens = jnp.asarray([len(prompt)], jnp.int32)
+
+    _, exact = _prefill(params, ids, lens, cfg.n_head, 16)
+    _, quant = _prefill(params, ids, lens, cfg.n_head, 16, kv_int8=True)
+    for e, qe in zip(exact["k"] + exact["v"], quant["k"] + quant["v"]):
+        e = np.asarray(e, np.float32)
+        dq = np.asarray(_dequant_kv(qe), np.float32)
+        step = np.abs(e).max(-1, keepdims=True) / 127.0
+        # half a quantization step, plus bf16 rounding of codes*scales
+        assert np.all(np.abs(dq - e) <= 0.5 * step + np.abs(e) * 2**-7
+                      + 1e-6)
+
+    want, _ = generate_ids(params, ids, lens, jax.random.PRNGKey(0),
+                           heads=cfg.n_head, max_new=8, cache_len=32,
+                           temperature=0.0)
+    got, _ = generate_ids(params, ids, lens, jax.random.PRNGKey(0),
+                          heads=cfg.n_head, max_new=8, cache_len=32,
+                          temperature=0.0, kv_int8=True)
+    assert np.asarray(got)[0].tolist() == np.asarray(want)[0].tolist()
+
+
 def test_generate_batch_left_pad_consistency(hf_pair):
     """Rows of a left-padded batch generate the same greedy tokens as
     each row alone."""

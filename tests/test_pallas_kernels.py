@@ -153,6 +153,32 @@ def test_grouped_scan_wide_tiles(grouped_layout, rng, qt):
     assert (rows == ri).all()
 
 
+@pytest.mark.parametrize("metric", ["sqeuclidean", "ip"])
+def test_grouped_scan_packed_selection(grouped_layout, rng, metric):
+    """pos_bits>0 packs (distance, in-list position) into one int32 key
+    so top-kp extraction is min+mask instead of argmin+onehot. The
+    top-k SET must match the exact oracle on this (deterministic)
+    corpus; distances may round by <= 2**(pos_bits-24) relative, which
+    can also reorder candidates whose gap is below that step."""
+    vecs, offsets, counts = grouped_layout
+    B, npadp, k = 24, 4, 10
+    nlists = len(counts)
+    q = rng.standard_normal((B, 128)).astype(np.float32)
+    probes = _mk_probes(rng, B, npadp, nlists)
+    pb = max(11, int(counts.max() - 1).bit_length())
+    d, rows = ivf_grouped_search(
+        jnp.asarray(q), jnp.asarray(probes), jnp.asarray(vecs),
+        jnp.asarray(offsets), jnp.asarray(counts), k=k, metric=metric,
+        interpret=True, pos_bits=pb)
+    rd, ri = ivf_grouped_search_reference(q, probes, vecs, offsets,
+                                          counts, k=k, metric=metric)
+    d, rows = np.asarray(d), np.asarray(rows)
+    live = rd < 1e30
+    np.testing.assert_allclose(d[live], rd[live], rtol=1e-3, atol=1e-3)
+    for b in range(B):
+        assert set(rows[b].tolist()) == set(ri[b].tolist())
+
+
 def test_grouped_scan_ip(grouped_layout, rng):
     vecs, offsets, counts = grouped_layout
     B, k = 16, 5
