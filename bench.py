@@ -28,7 +28,19 @@ import time
 import numpy as np
 
 BASELINE_QPS = 2000.0
-GT_PATH = os.environ.get("NDB_BENCH_GT_PATH", "/tmp/ndb_bench_gt.npz")
+# Ground-truth cache lives IN THE REPO keyed on (corpus, n, nq): the
+# driver environment wipes /tmp between rounds, which re-bought the same
+# deterministic 516-second brute-force scan every round (r4 verdict weak
+# item 2). The 1M-row default key is ~80 KB and committed.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_cache")
+
+
+def _gt_path(n, nq):
+    env = os.environ.get("NDB_BENCH_GT_PATH")
+    if env:
+        return env
+    return os.path.join(_CACHE_DIR, f"gt_{CORPUS}_{n}_{nq}.npz")
 # corpus flavors: "clustered" (SIFT-like; the default headline),
 # "uniform" (uniform-random — the hard, flattery-bounding corpus: see
 # BASELINE.md honesty notes; nprobe must rise far higher for the same
@@ -114,9 +126,103 @@ def gt_only():
         _, ids = TK.chunked_knn(jnp.asarray(qb), xj, k, metric="l2",
                                 chunk=131072)
         gt_ids[s:e] = np.asarray(ids)[: e - s]
-    np.savez(GT_PATH, gt_ids=gt_ids, n=n, nq=nq,
+    path = _gt_path(n, nq)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path, gt_ids=gt_ids, n=n, nq=nq,
              corpus="real" if find_real_dataset() is not None else CORPUS,
              seconds=time.time() - t0)
+
+
+def calibration_probe():
+    """Fixed-shape slot-health probe (r4 verdict weak item 2: driver-slot
+    numbers swung 2-6x vs builder-slot with nothing to attribute it to).
+    Three canonical measurements recorded in every BENCH_r*.json:
+      gemm_tflops   [4096]^3 bf16 MXU matmul (compute health)
+      h2d_gbps      one 64 MB host->device transfer (tunnel/link health)
+      dispatch_ms   tiny-jit round-trip (per-call latency floor)
+    Values are timed with a VALUE FETCH, not block_until_ready (which
+    returns early through the tunnel — IMPLEMENTATION_NOTES r3 f.4)."""
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    m = 4096
+    a = jnp.full((m, m), 0.5, jnp.bfloat16)
+    f = jax.jit(lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
+    np.asarray(f(a, a)[:1, :1])                        # compile + warm
+    t0 = time.time()
+    r = None
+    for _ in range(8):
+        r = f(a, a)
+    np.asarray(r[:1, :1])
+    out["gemm_tflops"] = 8 * 2 * m**3 / (time.time() - t0) / 1e12
+    h = np.zeros((16_777_216,), np.float32)            # 64 MB
+    jnp.asarray(h[:8]).block_until_ready()             # lazy-init done
+    t0 = time.time()
+    dev = jnp.asarray(h)
+    np.asarray(dev[:1])
+    out["h2d_gbps"] = h.nbytes / (time.time() - t0) / 1e9
+    g = jax.jit(lambda v: v + 1.0)
+    s = jnp.zeros((8, 128), jnp.float32)
+    np.asarray(g(s)[:1])
+    t0 = time.time()
+    for _ in range(10):
+        np.asarray(g(s)[:1])
+    out["dispatch_ms"] = (time.time() - t0) / 10 * 1000
+    return {k: round(v, 3) for k, v in out.items()}
+
+
+def secondary_metrics(x, q, gt_ids, k, nq, batch):
+    """Driver-visible non-IVF numbers (r4 verdict weak item 5: every
+    HNSW/hybrid figure was builder-reported only). Reuses the headline
+    corpus + its exact ground truth; failures never kill the headline."""
+    import jax
+    from neurondb_tpu.index import HNSWIndex
+    from neurondb_tpu.ml.metrics import recall_at_k
+    sec = {}
+    t0 = time.time()
+    hidx = HNSWIndex(x, m=16, seed=0, build_mode="bulk")
+    sec["hnsw_build_s"] = round(time.time() - t0, 1)
+    qb = np.concatenate([q] * max(1, batch // nq + 1))[:batch]
+    hidx.search(qb, k=k, ef=64)                        # warm/compile
+    for ef in (48, 64, 96, 128, 192, 256):
+        _, ids = hidx.search(qb, k=k, ef=ef)
+        r = recall_at_k(ids[:nq], gt_ids[:nq])
+        if r >= 0.95:
+            break
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        d, ids = hidx.search(qb, k=k, ef=ef)
+        np.asarray(d[:1])
+        reps.append(batch / (time.time() - t0))
+    sec["hnsw_qps"] = round(sorted(reps)[-2], 1)
+    sec["hnsw_recall_at_10"] = round(float(r), 4)
+    sec["hnsw_ef"] = ef
+
+    # hybrid vector+BM25 at the BASELINE 200k-doc configuration
+    nd_ = min(int(os.environ.get("NDB_BENCH_HYBRID_DOCS", 200_000)),
+              len(x))
+    from neurondb_tpu.index import IVFFlatIndex
+    from neurondb_tpu.search.bm25 import BM25Index
+    from neurondb_tpu.search.hybrid import hybrid_search_batch
+    docs = [f"topic{i % 64} item {i} cluster word{i % 64}"
+            for i in range(nd_)]
+    fidx = IVFFlatIndex(x[:nd_], nlists=512, metric="l2", seed=0)
+    bm = BM25Index(docs)
+    rng = np.random.default_rng(3)
+    n_hq = 512
+    qis = rng.integers(0, nd_, n_hq)
+    texts = [f"topic{int(qi) % 64} item {int(qi)}" for qi in qis]
+    hybrid_search_batch(fidx, bm, x[qis], texts, k=k, nprobe=8)  # warm
+    t0 = time.time()
+    _, hids = hybrid_search_batch(fidx, bm, x[qis], texts, k=k, nprobe=8)
+    sec["hybrid_qps"] = round(n_hq / (time.time() - t0), 1)
+    sec["hybrid_docs"] = nd_
+    sec["hybrid_self_hit"] = round(
+        float(np.mean([int(qi) in row for qi, row in zip(qis, hids)])), 3)
+    return sec
 
 
 def main():
@@ -147,8 +253,9 @@ def main():
             gt_ids = native.read_ground_truth(real[2])[:nq, :k]
     if gt_ids is None:
         gt_ok = False
-        if os.path.exists(GT_PATH):
-            blob = np.load(GT_PATH)
+        gt_path = _gt_path(n, nq)
+        if os.path.exists(gt_path):
+            blob = np.load(gt_path)
             gt_ok = (int(blob["n"]) == n and int(blob["nq"]) == nq
                      and str(blob["corpus"] if "corpus" in blob
                              else "clustered") ==
@@ -156,9 +263,9 @@ def main():
         if not gt_ok:
             subprocess.run([sys.executable, os.path.abspath(__file__),
                             "--gt-only"], check=True, timeout=540)
-            blob = np.load(GT_PATH)
+            blob = np.load(gt_path)
+            gt_s = float(blob["seconds"])     # freshly paid this run
         gt_ids = blob["gt_ids"]
-        gt_s = float(blob["seconds"])
 
     platforms = os.environ.get("JAX_PLATFORMS", "")
     if platforms.startswith(("axon", "tpu")) or platforms == "":
@@ -300,6 +407,17 @@ def main():
     _, ids = index.search(qpad, k=k, nprobe=chosen, recall_target=rt)
     final_recall = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
 
+    try:
+        calib = calibration_probe()
+    except Exception as e:  # noqa: BLE001 — probe must not kill the bench
+        calib = {"error": str(e)[:200]}
+    sec = {}
+    if os.environ.get("NDB_BENCH_SECONDARY", "1") == "1":
+        try:
+            sec = secondary_metrics(x, q, gt_ids, k, nq, batch)
+        except Exception as e:  # noqa: BLE001
+            sec = {"error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "ivfflat_sift1m_qps_at_recall95",
         "value": round(qps, 1),
@@ -320,6 +438,8 @@ def main():
         "qps_samples": [round(s, 1) for s in samples],
         "query_wire": chosen_wire,
         "recall_target": rt,
+        "calibration": calib,
+        "secondary": sec,
         "corpus": "real:" + os.path.basename(real[0]) if real is not None
                   else CORPUS,
         "backend": jax.default_backend(),

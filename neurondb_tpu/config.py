@@ -31,12 +31,28 @@ class NDBConfig:
     hnsw_max_level: int = 16              # hnsw_am.c:85
     hnsw_k: int = 10                      # GUC neurondb.hnsw_k
     hnsw_build_wave: int = 1024           # TPU-only: batched insertion wave size
+    # upper-level bulk-build kNN recall target (lax.approx_min_k;
+    # 1.0 = exact lax.top_k). Upper graphs are heuristic routing
+    # structures, so the default trades 1% pool recall for the 5.3x
+    # PartialReduce speedup; set 1.0 for a deterministic exact build.
+    hnsw_build_rt: float = 0.99
     ivf_nlists: int = 100                 # ivf_am.c:54
     ivf_nprobe: int = 10                  # ivf_am.c:55
     ivf_kmeans_iters: int = 50            # ivf_am.c:56
     ivf_kmeans_tol: float = 1e-3          # ivf_am.c:57
     ivf_sample_cap: int = 10000           # ivf_am.c:580 sampling rule floor
     ivf_qt: int = 0                       # grouped-scan queries/tile (0=auto)
+    # IVF coarse-stage probe selection via lax.approx_min_k with this
+    # recall target (1.0 = exact lax.top_k). Probes are heuristic
+    # routing — end-to-end recall is what matters — and exact top_k at
+    # [B, nlists] measured 1/3 of the whole search wall, so the default
+    # is approximate. Set 1.0 to restore bit-exact probe selection.
+    ivf_coarse_rt: float = 0.99
+    # grouped-kernel top-k extraction: "packed" packs (distance,
+    # position) into one int32 key (~2.5x fewer VPU passes; rounds
+    # distances by <= 2**(pos_bits-24) relative and may swap near-ties
+    # at the k boundary), "exact" keeps the argmin extraction.
+    ivf_select: str = "packed"
 
     # ---- compute-mode (gpu_* GUCs -> TPU equivalents) ----
     compute_mode: str = "auto"            # cpu | tpu | auto (gpu compute_mode GUC)

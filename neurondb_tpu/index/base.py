@@ -39,8 +39,10 @@ class BaseIndex:
         os.makedirs(path, exist_ok=True)
         np.savez_compressed(os.path.join(path, "arrays.npz"),
                             **{k: _to_savable(v) for k, v in arrays.items()})
-        meta = dict(meta, kind=self.kind, metric=self.metric, dim=self.dim,
-                    format_version=1)
+        # a subclass _state() may bump format_version for layouts older
+        # readers must NOT silently misread (e.g. IVF-PQ int8 originals)
+        meta = dict({"format_version": 1}, **meta, kind=self.kind,
+                    metric=self.metric, dim=self.dim)
         with open(os.path.join(path, "manifest.json"), "w") as f:
             json.dump(meta, f, indent=2)
 

@@ -1166,10 +1166,12 @@ class HNSWIndex(BaseIndex):
             # Upper graphs are heuristic routing structures (pruned and
             # reverse-linked below); a 0.99-recall neighbor pool is the
             # same class of approximation as the NN-descent level 0.
+            # Gated by config.hnsw_build_rt (1.0 restores the exact,
+            # deterministic build) like every other approx knob.
             _, nn_loc = TK.chunked_knn(
                 xs, xs, kk + 1, metric="ip" if self._imetric == "ip"
                 else "l2", chunk=min(P, 16384), valid=validS,
-                recall_target=0.99)
+                recall_target=get_config().hnsw_build_rt)
             sel_l = _bulk_prune_own(
                 _strip_selfhits(nn_loc.astype(jnp.int32), K=kk), xs, sq,
                 m=self.m, heuristic=self._heuristic, metric=self._imetric)

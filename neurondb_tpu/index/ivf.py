@@ -447,11 +447,27 @@ class IVFFlatIndex(BaseIndex):
     # ---- search ----
     def search(self, queries, k: int = 10, *, nprobe: Optional[int] = None,
                out: str = "numpy", recall_target: float = 1.0,
+               coarse_rt: Optional[float] = None,
+               select: Optional[str] = None,
                **kw) -> Tuple[np.ndarray, np.ndarray]:
         """``out="device"`` returns jax arrays without forcing a host
         sync, so a caller can pipeline many batches (each host sync on
         this backend costs ~29 ms of tunnel latency). Device mode
-        requires no spill buffer and int32-safe external ids."""
+        requires no spill buffer and int32-safe external ids.
+
+        Approximation knobs (all also settable via config / env):
+
+        - ``recall_target`` — probe-everything (exact-scan) operating
+          point only: <1.0 selects per chunk with lax.approx_min_k.
+        - ``coarse_rt`` — probe SELECTION recall target (default
+          ``config.ivf_coarse_rt`` = 0.99): probes are heuristic
+          routing, and approx_min_k there measured 1/3 of the search
+          wall cheaper. Pass 1.0 for bit-exact probe selection.
+        - ``select`` — grouped-kernel top-k extraction, ``"packed"``
+          (default, ~2.5x fewer VPU passes, rounds distances by
+          <= 2**(pos_bits-24) relative and may swap near-ties at the
+          k boundary) or ``"exact"``.
+        """
         cfg = get_config()
         nprobe = int(nprobe if nprobe is not None else cfg.ivf_nprobe)
         nprobe = max(1, min(nprobe, self.nlists))
@@ -494,11 +510,16 @@ class IVFFlatIndex(BaseIndex):
                 # relative) stops being negligible, so fall back to the
                 # exact extraction. Floor of 11 buckets recompiles.
                 pb = max(11, (max(self.max_list, 2) - 1).bit_length())
-                if pb > 14 or os.environ.get(
-                        "NEURONDB_TPU_IVF_SELECT", "packed") != "packed":
+                sel = select if select is not None else cfg.ivf_select
+                if pb > 14 or sel != "packed":
                     pb = 0
-                crt = float(os.environ.get("NEURONDB_TPU_COARSE_RT",
-                                           "0.99"))
+                # NEURONDB_TPU_COARSE_RT kept as a legacy env override;
+                # the first-class knob is config.ivf_coarse_rt / the
+                # coarse_rt search kwarg
+                crt = float(
+                    coarse_rt if coarse_rt is not None
+                    else os.environ.get("NEURONDB_TPU_COARSE_RT",
+                                        cfg.ivf_coarse_rt))
                 vals, ids = _ivf_search_grouped(
                     q, self.centroids, self._vecs, self._ext_ids,
                     self._offsets, self._counts, jnp.int32(nprobe),

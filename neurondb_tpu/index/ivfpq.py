@@ -523,13 +523,21 @@ class IVFPQIndex(BaseIndex):
                   "ids": self._ids, "alive": self._alive}
         if self.R is not None:
             arrays["R"] = self.R
+        meta = {"n": self.n, "n_sub": self.n_sub,
+                "ksub": self.ksub, "nlists": self.nlists,
+                "max_list": self.max_list, "seed": self._seed}
         if self._orig is not None:
             arrays["orig"] = self._orig
             if self._orig_scale is not None:
                 arrays["orig_scale"] = self._orig_scale
-        return arrays, {"n": self.n, "n_sub": self.n_sub,
-                        "ksub": self.ksub, "nlists": self.nlists,
-                        "max_list": self.max_list, "seed": self._seed}
+            # int8 originals carry per-row scales a pre-r4 reader would
+            # silently skip (casting raw codes to bf16 -> wrong rerank
+            # distances); bump the format + record the dtype so any
+            # reader that doesn't understand the layout fails loudly
+            meta["orig_dtype"] = str(np.asarray(self._orig).dtype)
+            if meta["orig_dtype"] == "int8":
+                meta["format_version"] = 2
+        return arrays, meta
 
     def _load_state(self, arrays, meta):
         self.metric = meta["metric"]
@@ -565,6 +573,13 @@ class IVFPQIndex(BaseIndex):
         if "orig" not in arrays:
             self._orig = None
         elif arrays["orig"].dtype == np.int8:
+            # format v2: int8 codes are meaningless without their
+            # per-row scales — fail loudly instead of loading unscaled
+            if self._orig_scale is None:
+                raise ValueError(
+                    "IVF-PQ checkpoint has int8 originals (format v2) "
+                    "but no 'orig_scale' array — refusing to load "
+                    "unscaled rerank codes")
             self._orig = jnp.asarray(arrays["orig"])
         else:
             self._orig = jnp.asarray(arrays["orig"]).astype(

@@ -17,6 +17,9 @@ from neurondb_tpu.parallel.sharded import (  # noqa: F401
 from neurondb_tpu.parallel.sharded_hnsw import (  # noqa: F401
     ShardedHNSWIndex,
 )
+from neurondb_tpu.parallel.sharded_ivfpq import (  # noqa: F401
+    ShardedIVFPQIndex,
+)
 from neurondb_tpu.parallel.multihost import (  # noqa: F401
     MultiHostFlatIndex,
     MultiHostIVFIndex,

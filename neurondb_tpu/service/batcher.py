@@ -74,8 +74,16 @@ class MicroBatcher:
     def search(self, vector, k: int = 10, timeout: float = 30.0):
         """Blocking single-query search; returns (distances, ids) 1-D."""
         q = np.asarray(vector, np.float32).reshape(-1)
+        # validate BEFORE enqueueing: one wrong-dimension vector in an
+        # assembled batch would otherwise fan its error out to every
+        # request sharing the dispatch
+        dim = getattr(self.index, "dim", None)
+        if dim is not None and q.size != dim:
+            raise ValueError(
+                f"query has dim {q.size}, index expects {dim}")
         req: Dict[str, Any] = {"q": q, "k": int(k),
-                               "ev": threading.Event()}
+                               "ev": threading.Event(),
+                               "deadline": time.monotonic() + timeout}
         with self._cond:
             if self._closed:
                 raise RuntimeError("batcher closed")
@@ -88,12 +96,15 @@ class MicroBatcher:
         return req["d"], req["ids"]
 
     def close(self) -> None:
+        """Drain and stop. The fan-out sentinel is posted ONLY by the
+        dispatch thread (after its last batch's results are already in
+        ``_inflight``), so waiters of in-flight batches are never
+        stranded by a sentinel jumping ahead of their results."""
         with self._cond:
             self._closed = True
-            self._cond.notify()
-        self._thread.join(timeout=5.0)
-        self._inflight.put(None)               # fan-out sentinel
-        self._fanout.join(timeout=5.0)
+            self._cond.notify_all()
+        self._thread.join()                    # posts the sentinel last
+        self._fanout.join(timeout=30.0)
 
     # -- batcher side ---------------------------------------------------
     def _take_batch(self) -> List[Dict[str, Any]]:
@@ -127,6 +138,12 @@ class MicroBatcher:
                     r["ev"].set()
 
     def _dispatch_batch(self, batch: List[Dict[str, Any]]) -> None:
+        # drop requests whose client already timed out: nobody is
+        # waiting, so their rows would be pure padding with a live k
+        now = time.monotonic()
+        batch = [r for r in batch if r["deadline"] > now]
+        if not batch:
+            return
         n = len(batch)
         rows = 1 << (n - 1).bit_length()          # pad to pow2 shape
         rows = min(max(rows, self.pad_floor), self.max_batch)

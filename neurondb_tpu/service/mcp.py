@@ -29,6 +29,7 @@ PARSE_ERROR = -32700
 INVALID_REQUEST = -32600
 METHOD_NOT_FOUND = -32601
 INVALID_PARAMS = -32602
+RESOURCE_NOT_FOUND = -32002   # MCP spec: resources/read unknown URI
 INTERNAL_ERROR = -32603
 
 
@@ -146,7 +147,10 @@ class MCPServer:
                     return self._err(rid, INVALID_PARAMS,
                                      "missing required param 'uri'")
                 if uri not in self._resources:
-                    return self._err(rid, METHOD_NOT_FOUND,
+                    # MCP designates -32002 for unknown resources;
+                    # -32601 would read as "method unsupported" to
+                    # spec-conformant clients (r4 advisor finding)
+                    return self._err(rid, RESOURCE_NOT_FOUND,
                                      f"resource not found: {uri!r}")
                 result = self._read_resource(uri)
             elif method == "ping":

@@ -205,14 +205,25 @@ class RESTServer:
         self.collections[name] = index
 
     def enable_batching(self, name: str, *, window_ms: float = 10.0,
-                        max_batch: int = 4096, wire: str = "f32",
+                        max_batch: int = 4096, wire: Optional[str] = None,
                         pad_floor: int = 1, **search_kw) -> None:
         """Route single-vector /api/v1/search requests for `name`
         through a MicroBatcher (one device dispatch per 10 ms window
-        instead of one per HTTP request — see service/batcher.py)."""
+        instead of one per HTTP request — see service/batcher.py).
+
+        ``wire`` defaults to the int8 query wire for BaseIndex
+        collections — the single biggest measured IVF serving win
+        (1.77x, BASELINE.md), matching what bench.py serves — and to
+        "f32" for index objects whose search() doesn't route queries
+        through index/base.as_batch. Pass "f32" explicitly for a
+        full-precision wire (tiny-dim / extreme-dynamic-range)."""
+        from neurondb_tpu.index.base import BaseIndex
         from neurondb_tpu.service.batcher import MicroBatcher
+        idx = self.collections[name]
+        if wire is None:
+            wire = "int8" if isinstance(idx, BaseIndex) else "f32"
         self.batchers[name] = MicroBatcher(
-            self.collections[name], window_ms=window_ms,
+            idx, window_ms=window_ms,
             max_batch=max_batch, wire=wire, pad_floor=pad_floor,
             search_kw=search_kw)
 

@@ -11,7 +11,8 @@ from neurondb_tpu.index import FlatIndex, HNSWIndex, IVFFlatIndex
 
 
 @pytest.fixture(scope="module")
-def corpus(rng):
+def corpus(rng_mod):
+    rng = rng_mod
     ncl = 16
     centers = rng.standard_normal((ncl, 32)).astype(np.float32) * 3.0
     ids = rng.integers(0, ncl, 4000)

@@ -9,7 +9,8 @@ from neurondb_tpu.ops import distance as D
 
 
 @pytest.fixture(scope="module")
-def data(rng):
+def data(rng_mod):
+    rng = rng_mod
     x = rng.standard_normal((8, 32)).astype(np.float32)
     y = rng.standard_normal((8, 32)).astype(np.float32)
     return x, y

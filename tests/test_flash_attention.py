@@ -10,7 +10,8 @@ from neurondb_tpu.ops.pallas.flash_attention import (attention_reference,
 
 
 @pytest.fixture(scope="module")
-def qkv(rng):
+def qkv(rng_mod):
+    rng = rng_mod
     B, H, S, Dh = 2, 2, 256, 64
     q = rng.standard_normal((B, H, S, Dh)).astype(np.float32)
     k = rng.standard_normal((B, H, S, Dh)).astype(np.float32)

@@ -23,7 +23,8 @@ def recall_at_k(got_ids, true_ids):
 
 
 @pytest.fixture(scope="module")
-def corpus(rng):
+def corpus(rng_mod):
+    rng = rng_mod
     # clustered data so IVF/HNSW have structure to exploit
     centers = rng.standard_normal((20, 32)).astype(np.float32) * 4
     x = np.concatenate([

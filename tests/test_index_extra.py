@@ -43,7 +43,8 @@ def test_query_pattern_analyzer():
 
 
 @pytest.fixture(scope="module")
-def corpus(rng):
+def corpus(rng_mod):
+    rng = rng_mod
     return rng.standard_normal((1500, 16)).astype(np.float32)
 
 

@@ -7,7 +7,8 @@ from neurondb_tpu.index import FlatIndex, IVFPQIndex
 
 
 @pytest.fixture(scope="module")
-def corpus(rng):
+def corpus(rng_mod):
+    rng = rng_mod
     centers = rng.standard_normal((64, 64)).astype(np.float32)
     lab = rng.integers(0, 64, 20000)
     return centers[lab] + 0.25 * rng.standard_normal(
@@ -15,7 +16,8 @@ def corpus(rng):
 
 
 @pytest.fixture(scope="module")
-def queries(corpus, rng):
+def queries(corpus, rng_mod):
+    rng = rng_mod
     q = corpus[rng.choice(len(corpus), 128, replace=False)]
     return q + 0.02 * rng.standard_normal(q.shape).astype(np.float32)
 

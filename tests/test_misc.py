@@ -53,7 +53,8 @@ def test_vectorp_dtypes(rng):
 # ---- sparse search ----
 
 @pytest.fixture(scope="module")
-def sparse_corpus(rng):
+def sparse_corpus(rng_mod):
+    rng = rng_mod
     x = rng.standard_normal((200, 64)).astype(np.float32)
     x[np.abs(x) < 1.2] = 0   # sparsify
     return x

@@ -11,7 +11,8 @@ from neurondb_tpu.ml import linear as LIN
 
 
 @pytest.fixture(scope="module")
-def reg_data(rng):
+def reg_data(rng_mod):
+    rng = rng_mod
     X = rng.standard_normal((200, 5)).astype(np.float32)
     w = np.array([1.0, -2.0, 0.5, 0.0, 3.0], np.float32)
     y = X @ w + 0.7 + 0.01 * rng.standard_normal(200).astype(np.float32)

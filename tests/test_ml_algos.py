@@ -14,7 +14,8 @@ from neurondb_tpu.ml import trees as TR
 
 
 @pytest.fixture(scope="module")
-def blobs(rng):
+def blobs(rng_mod):
+    rng = rng_mod
     centers = np.array([[0, 0, 0], [8, 8, 0], [0, 8, 8]], np.float32)
     X = np.concatenate([c + rng.standard_normal((150, 3)).astype(np.float32)
                         for c in centers])

@@ -15,7 +15,8 @@ def mesh():
 
 
 @pytest.fixture(scope="module")
-def corpus(rng):
+def corpus(rng_mod):
+    rng = rng_mod
     centers = rng.standard_normal((32, 24)).astype(np.float32)
     lab = rng.integers(0, 32, 5000)
     return (centers[lab]

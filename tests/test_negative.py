@@ -10,7 +10,8 @@ from neurondb_tpu.ml import api as ML
 
 
 @pytest.fixture(scope="module")
-def x(rng):
+def x(rng_mod):
+    rng = rng_mod
     return rng.standard_normal((100, 8)).astype(np.float32)
 
 

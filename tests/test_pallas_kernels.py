@@ -10,7 +10,8 @@ from neurondb_tpu.ops.pallas.ivf_scan import (ivf_probe_scan,
 
 
 @pytest.fixture(scope="module")
-def ivf_layout(rng):
+def ivf_layout(rng_mod):
+    rng = rng_mod
     # 6 lists with varying (odd) lengths; starts 32-aligned per the
     # kernel contract (Mosaic sublane tiling), ends ragged
     lens = [700, 512, 100, 1024, 3, 200]
@@ -93,7 +94,8 @@ from neurondb_tpu.ops.pallas.ivf_scan_grouped import SEG as GSEG
 
 
 @pytest.fixture(scope="module")
-def grouped_layout(rng):
+def grouped_layout(rng_mod):
+    rng = rng_mod
     lens = [700, 512, 100, 1500, 3, 200, 0, 64]
     aligned = [(-(-l // 32)) * 32 for l in lens]
     offsets = np.cumsum([0] + aligned[:-1]).astype(np.int32)
@@ -156,10 +158,18 @@ def test_grouped_scan_wide_tiles(grouped_layout, rng, qt):
 @pytest.mark.parametrize("metric", ["sqeuclidean", "ip"])
 def test_grouped_scan_packed_selection(grouped_layout, rng, metric):
     """pos_bits>0 packs (distance, in-list position) into one int32 key
-    so top-kp extraction is min+mask instead of argmin+onehot. The
-    top-k SET must match the exact oracle on this (deterministic)
-    corpus; distances may round by <= 2**(pos_bits-24) relative, which
-    can also reorder candidates whose gap is below that step."""
+    so top-kp extraction is min+mask instead of argmin+onehot.
+
+    Selection is legally approximate at the k boundary: the packed key
+    rounds distances by <= 2**(pos_bits-24) relative, and the kernel's
+    GEMM-expansion distances themselves carry the rtol=1e-3 the whole
+    suite grants (different summation order than the oracle's direct
+    form). Candidates whose exact-distance gap is inside that combined
+    window may swap across the boundary — the r4 snapshot's exact-set
+    assertion was over-strict and failed on a 2.6e-4-relative near-tie
+    (r5 root cause). So: every swap must be a near-tie — any row the
+    kernel returns that the oracle didn't (and vice versa) must have an
+    EXACT distance within the legal window of the oracle's kth."""
     vecs, offsets, counts = grouped_layout
     B, npadp, k = 24, 4, 10
     nlists = len(counts)
@@ -174,9 +184,32 @@ def test_grouped_scan_packed_selection(grouped_layout, rng, metric):
                                           counts, k=k, metric=metric)
     d, rows = np.asarray(d), np.asarray(rows)
     live = rd < 1e30
-    np.testing.assert_allclose(d[live], rd[live], rtol=1e-3, atol=1e-3)
+    # distances of agreeing rows match to suite tolerance + rounding step
+    step = 2.0 ** (pb - 24)
+    np.testing.assert_allclose(d[live], rd[live], rtol=1e-3 + 2 * step,
+                               atol=1e-3)
+    n_swaps = 0
     for b in range(B):
-        assert set(rows[b].tolist()) == set(ri[b].tolist())
+        got, want = set(rows[b].tolist()), set(ri[b].tolist())
+        got.discard(-1), want.discard(-1)
+        assert len(got) == len(want)
+        kth = rd[b][rd[b] < 1e30]
+        if not len(kth):
+            continue
+        kth = float(kth[-1])
+        tol = (2 * step + 1e-3) * max(1.0, abs(kth))
+        for r in got.symmetric_difference(want):
+            if metric == "ip":
+                dist = -float(vecs[r] @ q[b])
+            else:
+                dist = float(((vecs[r] - q[b]) ** 2).sum())
+            n_swaps += 1
+            assert abs(dist - kth) <= tol, (
+                f"b={b} row {r}: swap gap {abs(dist - kth):.3e} exceeds "
+                f"legal window {tol:.3e}")
+    # swaps are the exception, not the rule: selection must still be
+    # essentially exact (one near-tie flip per ~10 queries at most)
+    assert n_swaps <= max(2, B // 8), n_swaps
 
 
 def test_grouped_scan_ip(grouped_layout, rng):

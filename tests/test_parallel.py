@@ -19,7 +19,8 @@ def mesh():
 
 
 @pytest.fixture(scope="module")
-def corpus(rng):
+def corpus(rng_mod):
+    rng = rng_mod
     return rng.standard_normal((1000, 24)).astype(np.float32)
 
 

@@ -12,7 +12,8 @@ from neurondb_tpu.index import FlatIndex
 
 
 @pytest.fixture(scope="module")
-def corpus(rng):
+def corpus(rng_mod):
+    rng = rng_mod
     centers = rng.standard_normal((16, 32)).astype(np.float32) * 3
     return np.concatenate([
         c + 0.5 * rng.standard_normal((150, 32)).astype(np.float32)

@@ -7,7 +7,8 @@ from neurondb_tpu.types import quantized as Q
 
 
 @pytest.fixture(scope="module")
-def x(rng):
+def x(rng_mod):
+    rng = rng_mod
     return (rng.standard_normal((16, 64)) * 3).astype(np.float32)
 
 

@@ -45,7 +45,8 @@ def test_tokenizer():
 
 
 @pytest.fixture(scope="module")
-def embedded(rng):
+def embedded(rng_mod):
+    rng = rng_mod
     # embed docs as random vectors, with doc 2 and the query aligned
     vecs = rng.standard_normal((len(DOCS), 16)).astype(np.float32)
     return vecs

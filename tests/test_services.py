@@ -406,8 +406,10 @@ def test_mcp_resources_read_roundtrip(rng):
 
 def test_mcp_resources_errors():
     srv = MCPServer()
+    # MCP spec: -32002 (resource not found) for unknown URIs, NOT
+    # -32601 which clients read as "method unsupported"
     out = _rpc(srv, "resources/read", {"uri": "neurondb://nope"})
-    assert out["error"]["code"] == -32601
+    assert out["error"]["code"] == -32002
     out = _rpc(srv, "resources/read", {})
     assert out["error"]["code"] == -32602
 
