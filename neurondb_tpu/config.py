@@ -53,6 +53,12 @@ class NDBConfig:
     # distances by <= 2**(pos_bits-24) relative and may swap near-ties
     # at the k boundary), "exact" keeps the argmin extraction.
     ivf_select: str = "packed"
+    # BM25 device batch scorer for non-heavy terms: "tiled" scores
+    # doc-tiled postings via segment-summed one-hot GEMMs on the MXU
+    # (exact — no posting truncation), "scatter" keeps the
+    # term-at-a-time scatter-add tiers (seg_cap-truncated; the pre-r5
+    # path, ~18M updates/s on the scalar core).
+    bm25_scorer: str = "tiled"
 
     # ---- compute-mode (gpu_* GUCs -> TPU equivalents) ----
     compute_mode: str = "auto"            # cpu | tpu | auto (gpu compute_mode GUC)

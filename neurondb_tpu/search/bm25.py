@@ -135,6 +135,91 @@ def _get_bm25_device_fn():
     return scores_device
 
 
+def _get_bm25_tiled_fn():
+    """Tiled one-hot-GEMM posting scorer (round 5 — replaces the
+    scalar-core scatter tier for mid/low-df terms; VERDICT r4 item 7).
+
+    The mid-df wall: TPU scatter-add runs ~18M updates/s on the scalar
+    core, so a term with df~3k cost ~60 ms per 512-query batch, and the
+    only escape hatches were densifying into a 512 MB [H, n_docs] tier
+    (stops scaling past ~1M docs) or truncating posting lists (seg_cap).
+    This path reformulates the whole light tier as MXU work:
+
+    - postings of all non-heavy scoreable terms are doc-sorted at build
+      time and laid out [nsteps, G, Ppad] — G doc-tiles of T docs per
+      scan step, each tile's postings padded to Ppad;
+    - per batch, the union of the queries' light terms maps to S slots;
+    - per tile: ``M = onehot(term==union)·w  @  onehot(dloc)`` builds
+      the [S, T] posting-weight block ON THE MXU (segment-summed
+      one-hot GEMM — same reformulate-sparse-as-dense identity as the
+      PQ ADC decode), then ``tile_scores = qinc @ M`` scores every
+      query against the tile. FLOPs = 2·S·T·nnz — independent of B —
+      plus 2·B·S·n_docs for the second GEMM.
+
+    EXACT for every covered term (no seg_cap truncation, no heavy_mb
+    budget); f32 GEMMs below the bf16 threshold keep the 1e-5 host-
+    oracle parity bar. Reference semantics: the ts_rank accumulation of
+    NeuronDB/src/search/hybrid_search.c:200-220."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit,
+                       static_argnames=("n_docs", "tile", "f32"))
+    def scores_tiled(heavy_idx, qslots, union_terms, s_term, s_dloc,
+                     s_w, w_dense, *, n_docs: int, tile: int, f32: bool):
+        B = heavy_idx.shape[0]
+        H = w_dense.shape[0]
+        S = union_terms.shape[0]
+        nsteps, G, P = s_term.shape
+        dt = jnp.float32 if f32 else jnp.bfloat16
+        prec = jax.lax.Precision.HIGHEST if f32 else None
+        # heavy tier: occurrence counts -> one GEMM (same as the
+        # scatter-path scorer; see _get_bm25_device_fn)
+        hcols = jnp.arange(H, dtype=jnp.int32)
+        counts = (heavy_idx[:, :, None] == hcols[None, None, :]
+                  ).astype(jnp.float32).sum(axis=1)
+        if w_dense.dtype == jnp.bfloat16:
+            scores = jax.lax.dot_general(
+                counts.astype(jnp.bfloat16), w_dense,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            scores = jax.lax.dot_general(
+                counts, w_dense, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+        # per-query slot lists -> union-slot counts [B, S]
+        scols = jnp.arange(S, dtype=jnp.int32)
+        qinc = (qslots[:, :, None] == scols[None, None, :]
+                ).astype(dt).sum(axis=1)
+        tcol = jnp.arange(tile, dtype=jnp.int32)
+
+        def step(sc, inp):
+            terms_g, dloc_g, w_g, j = inp          # [G, P] x3, scalar
+            # [G, P, S] term one-hot with the posting weight folded in;
+            # -1 padding never matches (union pads with -2)
+            oh = (terms_g[:, :, None] == union_terms[None, None, :]
+                  ).astype(dt) * w_g[:, :, None].astype(dt)
+            ohd = (dloc_g[:, :, None] == tcol[None, None, :]).astype(dt)
+            M = jnp.einsum("gps,gpt->gst", oh, ohd, precision=prec,
+                           preferred_element_type=jnp.float32)
+            ts = jnp.einsum("bs,gst->bgt", qinc, M.astype(dt),
+                            precision=prec,
+                            preferred_element_type=jnp.float32)
+            ts = ts.reshape(B, G * tile)
+            off = j * (G * tile)
+            cur = jax.lax.dynamic_slice(sc, (0, off), (B, G * tile))
+            return jax.lax.dynamic_update_slice(sc, cur + ts, (0, off)), None
+
+        scores, _ = jax.lax.scan(
+            step, scores, (s_term, s_dloc, s_w,
+                           jnp.arange(nsteps, dtype=jnp.int32)))
+        # w_dense columns are build-time padded to nsteps*G*tile
+        return scores[:, :n_docs]
+
+    return scores_tiled
+
+
 class BM25Index:
     """Okapi BM25 inverted index over a document corpus.
 
@@ -299,9 +384,80 @@ class BM25Index:
     #: (seg_tiny-wide) scatter scan instead of the seg-wide one
     seg_tiny = 256
 
-    def _ensure_device(self):
-        if getattr(self, "_dev", None) is not None:
-            return self._dev
+    #: doc-tile width of the tiled one-hot-GEMM scorer
+    tile = 512
+    #: cap on the per-batch union of light query terms (S slots); a
+    #: batch with more DISTINCT light terms keeps the highest-idf ones
+    #: (same drop rule as term_cap — the host oracle stays exact)
+    union_cap = 2048
+
+    def _scorer_mode(self) -> str:
+        from neurondb_tpu.config import get_config
+        return get_config().bm25_scorer
+
+    def _ensure_device_tiled(self):
+        """Device state for the tiled scorer: heavy dense rows (columns
+        padded to the tile grid) + doc-sorted [nsteps, G, Ppad] posting
+        tiles of every non-heavy scoreable term."""
+        if getattr(self, "_dev_tiled", None) is not None:
+            return self._dev_tiled
+        import jax.numpy as jnp
+        w, term_of, heavy, heavy_row_of, w_dense, use_bf16 = \
+            self._heavy_state()
+        nv = len(self.df)
+        scoreable = self.idf >= self.prune_idf_below
+        light = scoreable.copy()
+        light[heavy] = False
+        keep = light[term_of]
+        s_term = term_of[keep].astype(np.int32)
+        s_doc = self._post_doc[keep]
+        s_w = w[keep].astype(np.float32)
+        order = np.argsort(s_doc, kind="stable")
+        s_term, s_doc, s_w = s_term[order], s_doc[order], s_w[order]
+        T = self.tile
+        ntiles = max(1, -(-self.n_docs // T))
+        # group G tiles per scan step so step count stays ~128 (each
+        # step is two batched GEMMs; thousands of tiny steps would be
+        # loop-overhead-bound at multi-M corpora)
+        G = max(1, -(-ntiles // 128))
+        nsteps = -(-ntiles // G)
+        ntiles_p = nsteps * G
+        tcnt = np.bincount(s_doc // T, minlength=ntiles_p)
+        Ppad = max(8, int(-(-int(tcnt.max()) // 8) * 8)) if len(s_doc) \
+            else 8
+        term_l = np.full((ntiles_p, Ppad), -1, np.int32)
+        dloc_l = np.zeros((ntiles_p, Ppad), np.int32)
+        w_l = np.zeros((ntiles_p, Ppad), np.float32)
+        if len(s_doc):
+            tile_of = s_doc // T
+            starts = np.zeros(ntiles_p + 1, np.int64)
+            np.cumsum(tcnt, out=starts[1:])
+            pos = np.arange(len(s_doc)) - starts[tile_of]
+            term_l[tile_of, pos] = s_term
+            dloc_l[tile_of, pos] = s_doc - tile_of * T
+            w_l[tile_of, pos] = s_w
+        # pad heavy rows to the tile grid so the scan's tile updates
+        # never run past the score matrix
+        Np = ntiles_p * T
+        if w_dense.shape[1] < Np:
+            w_dense = np.pad(w_dense, ((0, 0), (0, Np - w_dense.shape[1])))
+        self._dev_tiled = {
+            "w_dense": jnp.asarray(w_dense),
+            "heavy_row_of": heavy_row_of,
+            "s_term": jnp.asarray(term_l.reshape(nsteps, G, Ppad)),
+            "s_dloc": jnp.asarray(dloc_l.reshape(nsteps, G, Ppad)),
+            "s_w": jnp.asarray(w_l.reshape(nsteps, G, Ppad)),
+            "fn": _get_bm25_tiled_fn(),
+            "tile": T,
+            "f32": not use_bf16,
+            "pad_factor": round(float(term_l.size / max(len(s_doc), 1)),
+                                2),
+        }
+        return self._dev_tiled
+
+    def _heavy_state(self):
+        """Shared build step: per-posting weights + heavy-tier dense
+        rows (host arrays; each scorer mode device-stages its own)."""
         import jax.numpy as jnp
         norm = 1.0 - self.b + self.b * self.doc_len / max(self.avg_len,
                                                           1e-9)
@@ -337,6 +493,17 @@ class BM25Index:
             # (the tunnel is ~50 MB/s) and the resident HBM footprint
             import ml_dtypes
             w_dense = w_dense.astype(ml_dtypes.bfloat16)
+        return w, term_of, heavy, heavy_row_of, w_dense, use_bf16
+
+    def _ensure_device(self):
+        """Device state for the legacy scatter scorer (config
+        bm25_scorer="scatter"): heavy dense rows + impact-ordered CSR
+        postings for the wide/narrow scatter tiers."""
+        if getattr(self, "_dev", None) is not None:
+            return self._dev
+        import jax.numpy as jnp
+        w, term_of, heavy, heavy_row_of, w_dense, _ = self._heavy_state()
+        scoreable = self.idf >= self.prune_idf_below
         # impact order: weight-descending within each term (same CSR
         # offsets — the permutation never crosses term boundaries)
         perm = np.lexsort((-w, term_of))
@@ -392,6 +559,8 @@ class BM25Index:
                 import jax.numpy as jnp
                 return jnp.asarray(out)
             return out
+        if self._scorer_mode() == "tiled":
+            return self._scores_batch_tiled(queries, return_device)
         import jax.numpy as jnp
         dev = self._ensure_device()
         hrow = dev["heavy_row_of"]
@@ -458,6 +627,69 @@ class BM25Index:
                         dev["w_dense"], n_docs=self.n_docs,
                         seg=dev["seg"], max_segs=dev["max_segs"],
                         seg_tiny=self.seg_tiny)
+        if return_device:
+            return out[:B]
+        return np.asarray(out)[:B]
+
+    def _scores_batch_tiled(self, queries: Sequence[str],
+                            return_device: bool):
+        """Batch scoring through the tiled one-hot-GEMM scorer: heavy
+        terms ride the dense GEMM; every other scoreable term maps to a
+        slot in the batch-wide union and is scored EXACTLY from the
+        doc-tiled posting stream (no seg_cap truncation). Union
+        overflow beyond ``union_cap`` keeps the highest-idf terms —
+        the same drop rule as ``term_cap``."""
+        import jax.numpy as jnp
+        dev = self._ensure_device_tiled()
+        hrow = dev["heavy_row_of"]
+        H = dev["w_dense"].shape[0]
+        B = len(queries)
+        per_q = []                       # (heavy_rows, light_terms)
+        cand_idf: Dict[int, float] = {}
+        for q in queries:
+            tis, offs, cnts, idfs = self._query_term_slices(q)
+            if len(tis) > self.term_cap:
+                order = np.argsort(idfs)[::-1][: self.term_cap]
+                tis = [tis[i] for i in order]
+            hv = [int(hrow[t]) for t in tis if hrow[t] >= 0]
+            lt = [t for t in tis if hrow[t] < 0]
+            for t in lt:
+                cand_idf[t] = float(self.idf[t])
+            per_q.append((hv, lt))
+        union = sorted(cand_idf, key=lambda t: -cand_idf[t])
+        union = union[: self.union_cap]
+        slot_of = {t: i for i, t in enumerate(union)}
+
+        def bucket(nmax, cap):
+            b = 4
+            while b < max(nmax, 1):
+                b *= 2
+            return min(b, cap)
+
+        HT = bucket(max((len(h) for h, _ in per_q), default=1),
+                    self.term_cap)
+        LT = bucket(max((len(l) for _, l in per_q), default=1),
+                    self.term_cap)
+        S = bucket(len(union), self.union_cap)
+        hidx = np.full((B, HT), H, np.int32)     # H = "no term" sentinel
+        qslots = np.full((B, LT), -1, np.int32)
+        for b, (hv, lt) in enumerate(per_q):
+            hidx[b, : min(len(hv), HT)] = hv[:HT]
+            sl = [slot_of[t] for t in lt if t in slot_of][:LT]
+            qslots[b, : len(sl)] = sl
+        union_arr = np.full(S, -2, np.int32)     # -2: never matches a
+        union_arr[: len(union)] = union          # -1 posting pad
+        bpad = 1 << max((B - 1).bit_length(), 3)
+        if bpad > B:
+            hidx = np.pad(hidx, ((0, bpad - B), (0, 0)),
+                          constant_values=H)
+            qslots = np.pad(qslots, ((0, bpad - B), (0, 0)),
+                            constant_values=-1)
+        out = dev["fn"](jnp.asarray(hidx), jnp.asarray(qslots),
+                        jnp.asarray(union_arr), dev["s_term"],
+                        dev["s_dloc"], dev["s_w"], dev["w_dense"],
+                        n_docs=self.n_docs, tile=dev["tile"],
+                        f32=dev["f32"])
         if return_device:
             return out[:B]
         return np.asarray(out)[:B]

@@ -165,9 +165,13 @@ def test_grouped_pq_kernel_matches_oracle(rng):
 
 
 def test_grouped_pq_kernel_packed_selection(rng):
-    """pos_bits>0 packed-key selection must return the same top-k SET as
-    the exact extraction (distances may round by 2**(pos_bits-24) rel,
-    reordering only sub-step near-ties)."""
+    """pos_bits>0 packed-key selection vs the exact extraction.
+
+    Selection is legally approximate at the k boundary (same contract
+    as the IVF grouped kernel, tests/test_pallas_kernels.py): the
+    packed key rounds ADC distances by <= 2**(pos_bits-24) relative,
+    so candidates whose gap is inside that window may swap across the
+    boundary. Every swap must be such a near-tie; swaps must be rare."""
     import jax.numpy as jnp
     from neurondb_tpu.index.ivfpq import IVFPQIndex
     from neurondb_tpu.ops.pallas import ivfpq_scan as PQS
@@ -190,10 +194,25 @@ def test_grouped_pq_kernel_packed_selection(rng):
         codes_t, idx._offsets, idx._counts, k=10, interpret=True,
         pos_bits=pb)
     v0, r0, v1, r1 = (np.asarray(a) for a in (v0, r0, v1, r1))
+    step = 2.0 ** (pb - 24)
     np.testing.assert_allclose(np.sort(v1, axis=1), np.sort(v0, axis=1),
-                               rtol=1e-3, atol=1e-3)
+                               rtol=1e-3 + 2 * step, atol=1e-3)
+    n_swaps = 0
     for b in range(len(q)):
-        assert set(r1[b].tolist()) == set(r0[b].tolist())
+        got, want = set(r1[b].tolist()), set(r0[b].tolist())
+        got.discard(-1), want.discard(-1)
+        assert len(got) == len(want)
+        kth = float(np.sort(v0[b])[-1])
+        tol = (2 * step + 1e-3) * max(1.0, abs(kth))
+        for rr in got.symmetric_difference(want):
+            # the swapped row's distance (from whichever side holds it)
+            side_v, side_r = (v1[b], r1[b]) if rr in got else (v0[b], r0[b])
+            dist = float(side_v[list(side_r).index(rr)])
+            n_swaps += 1
+            assert abs(dist - kth) <= tol, (
+                f"b={b} row {rr}: swap gap {abs(dist - kth):.3e} exceeds "
+                f"legal window {tol:.3e}")
+    assert n_swaps <= max(2, len(q) // 8), n_swaps
 
 
 def test_grouped_pq_kernel_nsub32_sub128(rng):

@@ -252,6 +252,72 @@ def test_bm25_bf16_heavy_tier():
         assert tg <= set(th[h[th] >= cut].tolist())
 
 
+def test_bm25_tiled_scorer_matches_host_oracle():
+    """Round-5 tiled one-hot-GEMM scorer (default): exact vs the host
+    loop — unlike the scatter tiers it has NO posting truncation, so
+    the bar is full f32 parity (reference: ts_rank accumulation,
+    NeuronDB/src/search/hybrid_search.c:200-220)."""
+    from neurondb_tpu.config import configure
+    from neurondb_tpu.search.bm25 import BM25Index
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(5, 30)))
+            for _ in range(3000)]
+    bm = BM25Index(docs, use_native=False)
+    assert bm._scorer_mode() == "tiled"      # the default
+    queries = [" ".join(rng.choice(vocab, 4)) for _ in range(17)]
+    queries.append("w0 w0 w5")               # repeated query term
+    dev = bm.scores_batch(queries, device=True)
+    host = np.stack([bm.scores(q) for q in queries])
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+    # both modes agree with each other (scatter truncates via seg_cap,
+    # but this corpus is far below any cap)
+    configure(bm25_scorer="scatter")
+    try:
+        sc = bm.scores_batch(queries, device=True)
+    finally:
+        configure(bm25_scorer="tiled")
+    np.testing.assert_allclose(sc, dev, rtol=1e-3, atol=1e-3)
+
+
+def test_bm25_tiled_union_overflow_keeps_high_idf():
+    """A batch whose distinct light terms exceed union_cap drops the
+    LOWEST-idf extras (same rule as term_cap); covered terms stay
+    exact."""
+    from neurondb_tpu.search.bm25 import BM25Index
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(5, 30)))
+            for _ in range(2000)]
+    bm = BM25Index(docs, use_native=False)
+    bm.union_cap = 8
+    queries = [" ".join(rng.choice(vocab, 6)) for _ in range(9)]
+    dev = bm.scores_batch(queries, device=True)
+    host = np.stack([bm.scores(q) for q in queries])
+    # scores are a LOWER bound of the oracle (dropped terms only ever
+    # remove positive contributions) and never exceed it
+    assert (dev <= host + 1e-4).all()
+    # the heavy tier plus the 8 highest-idf union terms still score
+    assert dev.max() > 0
+
+
+def test_bm25_tiled_bf16_at_scale():
+    """Force the at-scale bf16 tier through the tiled path: ranking
+    agrees with the exact oracle within bf16 rounding."""
+    from neurondb_tpu.search.bm25 import BM25Index
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(5, 30)))
+            for _ in range(3000)]
+    bm = BM25Index(docs, use_native=False)
+    bm.heavy_bf16_from = 1                   # force the at-scale tier
+    queries = [" ".join(rng.choice(vocab, 4)) for _ in range(9)]
+    got = bm.scores_batch(queries, device=True)
+    assert not bm._dev_tiled["f32"]
+    host = np.stack([bm.scores(q) for q in queries])
+    np.testing.assert_allclose(got, host, rtol=1.5e-2, atol=2e-2)
+
+
 def test_bm25_scores_batch_native_corpus():
     from neurondb_tpu.search.bm25 import BM25Index
     rng = np.random.default_rng(4)
