@@ -164,9 +164,12 @@ def _get_bm25_tiled_fn():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit,
-                       static_argnames=("n_docs", "tile", "f32"))
+                       static_argnames=("n_docs", "tile", "f32",
+                                        "seg_tiny"))
     def scores_tiled(heavy_idx, qslots, union_terms, s_term, s_dloc,
-                     s_w, w_dense, *, n_docs: int, tile: int, f32: bool):
+                     s_w, tiny_off, tiny_cnt, tiny_doc, tiny_w, w_dense,
+                     *, n_docs: int, tile: int, f32: bool,
+                     seg_tiny: int):
         B = heavy_idx.shape[0]
         H = w_dense.shape[0]
         S = union_terms.shape[0]
@@ -214,6 +217,25 @@ def _get_bm25_tiled_fn():
         scores, _ = jax.lax.scan(
             step, scores, (s_term, s_dloc, s_w,
                            jnp.arange(nsteps, dtype=jnp.int32)))
+        # tiny tier (df <= seg_tiny): per-query narrow scatter — these
+        # terms are EXACT in one seg_tiny-wide segment, and keeping
+        # them out of the union keeps S (hence the M-build FLOPs, which
+        # scale as stream_nnz*S*tile) down to the mid-df terms only
+        nnz_t = tiny_doc.shape[0]
+        rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
+        col = jnp.arange(seg_tiny, dtype=jnp.int32)[None, :]
+
+        def tiny_step(sc, tcol):
+            off, cnt = tcol                            # [B] each
+            rows = off[:, None] + col                  # [B, seg_tiny]
+            ok = rows < (off + cnt)[:, None]
+            rs = jnp.clip(rows, 0, max(nnz_t - 1, 0))
+            docs = jnp.where(ok, tiny_doc[rs], 0)
+            ww = jnp.where(ok, tiny_w[rs], 0.0)
+            return sc.at[rowb, docs].add(ww), None
+
+        scores, _ = jax.lax.scan(tiny_step, scores,
+                                 (tiny_off.T, tiny_cnt.T))
         # w_dense columns are build-time padded to nsteps*G*tile
         return scores[:, :n_docs]
 
@@ -408,12 +430,28 @@ class BM25Index:
         scoreable = self.idf >= self.prune_idf_below
         light = scoreable.copy()
         light[heavy] = False
-        keep = light[term_of]
+        # tiny terms (df <= seg_tiny) stay on the narrow scatter: ONE
+        # segment scores them exactly, and excluding them from the
+        # union keeps S — and the M-build FLOPs, stream_nnz*S*tile —
+        # proportional to the mid-df terms actually queried
+        tiny = light & (self.df <= self.seg_tiny)
+        mid = light & ~tiny
+        keep = mid[term_of]
         s_term = term_of[keep].astype(np.int32)
         s_doc = self._post_doc[keep]
         s_w = w[keep].astype(np.float32)
         order = np.argsort(s_doc, kind="stable")
         s_term, s_doc, s_w = s_term[order], s_doc[order], s_w[order]
+        # compacted CSR for the tiny tier (term-major, same order as
+        # the global CSR so per-term slices stay contiguous)
+        tkeep = tiny[term_of]
+        tiny_doc = self._post_doc[tkeep].astype(np.int32)
+        tiny_w = w[tkeep].astype(np.float32)
+        tiny_cnt_per = np.where(tiny, np.diff(self._offsets), 0)
+        tiny_off_per = np.zeros(nv + 1, np.int64)
+        np.cumsum(tiny_cnt_per, out=tiny_off_per[1:])
+        self._tiny_off_of = tiny_off_per[:-1]      # term -> compact off
+        pad_t = (-len(tiny_doc)) % self.seg_tiny + self.seg_tiny
         T = self.tile
         ntiles = max(1, -(-self.n_docs // T))
         # group G tiles per scan step so step count stays ~128 (each
@@ -444,9 +482,12 @@ class BM25Index:
         self._dev_tiled = {
             "w_dense": jnp.asarray(w_dense),
             "heavy_row_of": heavy_row_of,
+            "tiny": tiny,
             "s_term": jnp.asarray(term_l.reshape(nsteps, G, Ppad)),
             "s_dloc": jnp.asarray(dloc_l.reshape(nsteps, G, Ppad)),
             "s_w": jnp.asarray(w_l.reshape(nsteps, G, Ppad)),
+            "tiny_doc": jnp.asarray(np.pad(tiny_doc, (0, pad_t))),
+            "tiny_w": jnp.asarray(np.pad(tiny_w, (0, pad_t))),
             "fn": _get_bm25_tiled_fn(),
             "tile": T,
             "f32": not use_bf16,
@@ -644,7 +685,8 @@ class BM25Index:
         hrow = dev["heavy_row_of"]
         H = dev["w_dense"].shape[0]
         B = len(queries)
-        per_q = []                       # (heavy_rows, light_terms)
+        tiny_mask = dev["tiny"]
+        per_q = []                # (heavy_rows, mid_terms, tiny (o, c))
         cand_idf: Dict[int, float] = {}
         for q in queries:
             tis, offs, cnts, idfs = self._query_term_slices(q)
@@ -652,10 +694,13 @@ class BM25Index:
                 order = np.argsort(idfs)[::-1][: self.term_cap]
                 tis = [tis[i] for i in order]
             hv = [int(hrow[t]) for t in tis if hrow[t] >= 0]
-            lt = [t for t in tis if hrow[t] < 0]
+            lt = [t for t in tis if hrow[t] < 0 and not tiny_mask[t]]
+            ty = [(int(self._tiny_off_of[t]),
+                   int(self._offsets[t + 1] - self._offsets[t]))
+                  for t in tis if hrow[t] < 0 and tiny_mask[t]]
             for t in lt:
                 cand_idf[t] = float(self.idf[t])
-            per_q.append((hv, lt))
+            per_q.append((hv, lt, ty))
         union = sorted(cand_idf, key=lambda t: -cand_idf[t])
         union = union[: self.union_cap]
         slot_of = {t: i for i, t in enumerate(union)}
@@ -666,17 +711,24 @@ class BM25Index:
                 b *= 2
             return min(b, cap)
 
-        HT = bucket(max((len(h) for h, _ in per_q), default=1),
+        HT = bucket(max((len(h) for h, _, _ in per_q), default=1),
                     self.term_cap)
-        LT = bucket(max((len(l) for _, l in per_q), default=1),
+        LT = bucket(max((len(l) for _, l, _ in per_q), default=1),
+                    self.term_cap)
+        TT = bucket(max((len(t) for _, _, t in per_q), default=1),
                     self.term_cap)
         S = bucket(len(union), self.union_cap)
         hidx = np.full((B, HT), H, np.int32)     # H = "no term" sentinel
         qslots = np.full((B, LT), -1, np.int32)
-        for b, (hv, lt) in enumerate(per_q):
+        toff = np.zeros((B, TT), np.int32)
+        tcnt = np.zeros((B, TT), np.int32)
+        for b, (hv, lt, ty) in enumerate(per_q):
             hidx[b, : min(len(hv), HT)] = hv[:HT]
             sl = [slot_of[t] for t in lt if t in slot_of][:LT]
             qslots[b, : len(sl)] = sl
+            for j, (o, c) in enumerate(ty[:TT]):
+                toff[b, j] = o
+                tcnt[b, j] = c
         union_arr = np.full(S, -2, np.int32)     # -2: never matches a
         union_arr[: len(union)] = union          # -1 posting pad
         bpad = 1 << max((B - 1).bit_length(), 3)
@@ -685,11 +737,15 @@ class BM25Index:
                           constant_values=H)
             qslots = np.pad(qslots, ((0, bpad - B), (0, 0)),
                             constant_values=-1)
+            toff = np.pad(toff, ((0, bpad - B), (0, 0)))
+            tcnt = np.pad(tcnt, ((0, bpad - B), (0, 0)))
         out = dev["fn"](jnp.asarray(hidx), jnp.asarray(qslots),
                         jnp.asarray(union_arr), dev["s_term"],
-                        dev["s_dloc"], dev["s_w"], dev["w_dense"],
+                        dev["s_dloc"], dev["s_w"], jnp.asarray(toff),
+                        jnp.asarray(tcnt), dev["tiny_doc"],
+                        dev["tiny_w"], dev["w_dense"],
                         n_docs=self.n_docs, tile=dev["tile"],
-                        f32=dev["f32"])
+                        f32=dev["f32"], seg_tiny=self.seg_tiny)
         if return_device:
             return out[:B]
         return np.asarray(out)[:B]
