@@ -145,7 +145,7 @@ def calibration_probe():
     import jax
     import jax.numpy as jnp
     out = {}
-    m = 4096
+    m = 8192          # 1.1 TFLOP/rep: dispatch overhead <2% of the wall
     a = jnp.full((m, m), 0.5, jnp.bfloat16)
     f = jax.jit(lambda a, b: jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
@@ -338,7 +338,7 @@ def main():
     # first nprobe that clears the bar ends that wire's sweep — higher
     # nprobe at the same wire is never faster, so it can't be argmax.
     probe_stats = {}
-    candidates = []       # (wire, nprobe) with measured recall >= 0.95
+    candidates = []   # (wire, nprobe, sel) with measured recall >= 0.95
     for wire in wires:
         qpad = _make_wire(wire, qpad_f32)
         stats = []
@@ -350,11 +350,25 @@ def main():
             r = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
             stats.append((nprobe, round(r, 4)))
             if r >= 0.95:
-                candidates.append((wire, nprobe, r))
+                candidates.append((wire, nprobe, "packed", r))
+                # blockmin (lane-class tournament selection, r5): only
+                # a candidate if ITS recall also clears the bar through
+                # the same wire (it legally drops same-class runners-up
+                # — measured ~0.5% recall cost, ~10-15% QPS on the
+                # kernel-bound slices)
+                _, ids_b = index.search(qpad, k=k, nprobe=nprobe,
+                                        recall_target=rt,
+                                        select="blockmin")
+                rb = recall_at_k(ids_b[:min(nq, batch)],
+                                 gt_ids[:min(nq, batch)])
+                stats.append((nprobe, round(rb, 4), "blockmin"))
+                if rb >= 0.95:
+                    candidates.append((wire, nprobe, "blockmin", rb))
                 break
         probe_stats[wire] = stats
     if not candidates:
-        candidates = [(wires[0], nlists, probe_stats[wires[0]][-1][1])]
+        candidates = [(wires[0], nlists, "packed",
+                       probe_stats[wires[0]][-1][1])]
 
     # Timed QPS per candidate: dispatch every sub-batch without a host
     # sync (serving-style pipelining: transfers overlap compute), one
@@ -372,11 +386,11 @@ def main():
             return tuple(part[s:e] for part in qq)
         return qq[s:e]
 
-    def _timed(wire, nprobe):
+    def _timed(wire, nprobe, sel="packed"):
         qbig = _make_wire(wire, qbig_f32)
         nbig = len(qbig[0]) if isinstance(qbig, tuple) else len(qbig)
         index.search(_slice(qbig, 0, batch), k=k, nprobe=nprobe,
-                     recall_target=rt)
+                     recall_target=rt, select=sel)
         reps = []
         for _ in range(4):
             t0 = time.time()
@@ -385,7 +399,7 @@ def main():
             for s in range(0, nbig, batch):
                 outs.append(index.search(_slice(qbig, s, s + batch), k=k,
                                          nprobe=nprobe, out="device",
-                                         recall_target=rt))
+                                         recall_target=rt, select=sel))
                 done += min(batch, nbig - s)
             # value fetch, not block_until_ready: the latter returns
             # EARLY through the tunnel (IMPLEMENTATION_NOTES round-3
@@ -397,14 +411,15 @@ def main():
         return warm[1], reps
 
     timed = {}
-    for wire, nprobe, r in candidates:
-        med, reps = _timed(wire, nprobe)
-        timed[(wire, nprobe)] = (med, reps, r)
-    (chosen_wire, chosen), (qps, samples, _) = max(
+    for wire, nprobe, sel, r in candidates:
+        med, reps = _timed(wire, nprobe, sel)
+        timed[(wire, nprobe, sel)] = (med, reps, r)
+    (chosen_wire, chosen, chosen_sel), (qps, samples, _) = max(
         timed.items(), key=lambda kv: kv[1][0])
 
     qpad = _make_wire(chosen_wire, qpad_f32)
-    _, ids = index.search(qpad, k=k, nprobe=chosen, recall_target=rt)
+    _, ids = index.search(qpad, k=k, nprobe=chosen, recall_target=rt,
+                          select=chosen_sel)
     final_recall = recall_at_k(ids[:min(nq, batch)], gt_ids[:min(nq, batch)])
 
     try:
@@ -431,12 +446,14 @@ def main():
         "ground_truth_seconds": round(gt_s, 1),
         "probe_sweep": probe_stats,
         "operating_points": {
-            f"{w}@{p}": {"qps_median": round(m, 1),
-                         "qps_samples": [round(x, 1) for x in reps],
-                         "recall_at_10": round(r, 4)}
-            for (w, p), (m, reps, r) in timed.items()},
+            f"{w}@{p}" + ("" if sl == "packed" else f"+{sl}"):
+                {"qps_median": round(m, 1),
+                 "qps_samples": [round(x, 1) for x in reps],
+                 "recall_at_10": round(r, 4)}
+            for (w, p, sl), (m, reps, r) in timed.items()},
         "qps_samples": [round(s, 1) for s in samples],
         "query_wire": chosen_wire,
+        "select": chosen_sel,
         "recall_target": rt,
         "calibration": calib,
         "secondary": sec,

@@ -51,7 +51,11 @@ class NDBConfig:
     # grouped-kernel top-k extraction: "packed" packs (distance,
     # position) into one int32 key (~2.5x fewer VPU passes; rounds
     # distances by <= 2**(pos_bits-24) relative and may swap near-ties
-    # at the k boundary), "exact" keeps the argmin extraction.
+    # at the k boundary); "blockmin" additionally folds each segment's
+    # keys into 128 lane-class minima before the kp selection rounds
+    # (at most ONE candidate per (query, segment, lane-class) — a
+    # further ~4x selection-pass cut; end-to-end recall re-measured by
+    # bench.py through this path); "exact" keeps the argmin extraction.
     ivf_select: str = "packed"
     # BM25 device batch scorer for non-heavy terms: "tiled" scores
     # doc-tiled postings via segment-summed one-hot GEMMs on the MXU

@@ -182,11 +182,12 @@ def _ivf_search_exact(q, vecs, sqnorms, row_ids, offsets, counts, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "metric", "nprobe_pad", "qt",
-                                    "pos_bits", "coarse_rt"))
+                                    "pos_bits", "coarse_rt",
+                                    "block_min"))
 def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
                         nprobe, *, k: int, metric: str, nprobe_pad: int,
                         qt: int = 0, pos_bits: int = 0,
-                        coarse_rt: float = 1.0):
+                        coarse_rt: float = 1.0, block_min: bool = False):
     """TPU fast path (round 2): coarse centroid stage -> list-grouped
     fused scan (ops/pallas/ivf_scan_grouped.py) -> merge + id map, all as
     ONE jit. One posting-list DMA serves a whole tile of queries (vs one
@@ -221,7 +222,7 @@ def _ivf_search_grouped(q, centroids, vecs, row_ids, offsets, counts,
     out_d, out_i = G.grouped_probe_scan(
         qpad, vecs, tile_off, tile_cnt, kp=kp, qt=qt,
         metric="ip" if metric == "ip" else "sqeuclidean",
-        pos_bits=pos_bits)
+        pos_bits=pos_bits, block_min=block_min)
     vals, rows = G.merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)
     return _ivf_post(vals, rows, row_ids, metric=metric)
 
@@ -511,8 +512,13 @@ class IVFFlatIndex(BaseIndex):
                 # exact extraction. Floor of 11 buckets recompiles.
                 pb = max(11, (max(self.max_list, 2) - 1).bit_length())
                 sel = select if select is not None else cfg.ivf_select
-                if pb > 14 or sel != "packed":
+                if pb > 14 or sel not in ("packed", "blockmin"):
                     pb = 0
+                # "blockmin" adds the lane-class tournament inside the
+                # kernel (at most one candidate per (query, segment,
+                # lane-class); ~4x fewer selection passes — see
+                # ivf_scan_grouped.py)
+                bmin = pb > 0 and sel == "blockmin"
                 # NEURONDB_TPU_COARSE_RT kept as a legacy env override;
                 # the first-class knob is config.ivf_coarse_rt / the
                 # coarse_rt search kwarg
@@ -525,7 +531,8 @@ class IVFFlatIndex(BaseIndex):
                     self._offsets, self._counts, jnp.int32(nprobe),
                     k=min(k, max(self.n, 1)),
                     metric=self.metric, nprobe_pad=max(npad, nprobe),
-                    qt=cfg.ivf_qt, pos_bits=pb, coarse_rt=crt)
+                    qt=cfg.ivf_qt, pos_bits=pb, coarse_rt=crt,
+                    block_min=bmin)
             else:     # round-1 per-query-DMA kernel (fallback)
                 segs_b = 1
                 while segs_b < max_segs:

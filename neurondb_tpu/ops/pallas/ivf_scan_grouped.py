@@ -100,7 +100,8 @@ def group_probes(probes, offsets, counts, *, qt: int, t_max: int):
 
 def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
                          out_d_ref, out_i_ref, vmem_buf, sem, par_ref,
-                         *, kp: int, metric: str, pos_bits: int = 0):
+                         *, kp: int, metric: str, pos_bits: int = 0,
+                         block_min: bool = False):
     t = pl.program_id(0)
     T = pl.num_programs(0)
     qt = q_ref.shape[0]                              # queries per tile
@@ -195,6 +196,39 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
             key = ((key + half) & mask_hi) | pos32
             key = jnp.where(valid, key, INT_FILL)
 
+            if block_min:
+                # Lane-class tournament (round 5): the kp rounds below
+                # still cost ~3 VPU passes over [qt, SEG] each — ~30
+                # SEG-wide passes per segment, the measured kernel wall
+                # (profile_ivf.py: scan 13.1 ms of a 28.9 ms fused
+                # search at nprobe=8). Fold the keys into per-lane-class
+                # minima first: class l = positions {l, l+128, ...}
+                # (exactly the VREG columns, so the fold is SEG/128 - 1
+                # elementwise mins), then run the kp rounds over the
+                # [qt, 128] minima. LEGALLY APPROXIMATE: at most ONE
+                # candidate per (query, segment, lane-class) — a loss
+                # only when >=2 of a segment's true top-kp fall in the
+                # same class AND the dropped one belongs in the final
+                # merged top-k (classes are 128 rows apart, so members
+                # are spatially uncorrelated; end-to-end recall
+                # re-measured through this path by bench.py).
+                bm = jnp.min(key.reshape(qt, SEG // 128, 128), axis=1)
+
+                def pickb(j, st):
+                    cb, rk, nk = st
+                    v = jnp.minimum(jnp.min(cb, axis=1, keepdims=True),
+                                    jnp.min(rk, axis=1, keepdims=True))
+                    nk = jnp.where(iota_k == j, v, nk)
+                    cb = jnp.where(cb == v, INT_FILL, cb)
+                    rk = jnp.where(rk == v, INT_FILL, rk)
+                    return cb, rk, nk
+
+                _, _, new_k = jax.lax.fori_loop(
+                    0, kp, pickb, (bm, run_d,
+                                   jnp.full((qt, kp), INT_FILL,
+                                            jnp.int32)))
+                return new_k, run_i
+
             # extraction works the [qt, SEG] buffer (lane-aligned: SEG
             # is a multiple of 128) and the tiny [qt, kp] running keys
             # SEPARATELY — concatenating them made every pass 1034 wide
@@ -269,11 +303,11 @@ def _grouped_scan_kernel(off_ref, cnt_ref, q_ref, vecs_hbm,
 
 @functools.partial(jax.jit,
                    static_argnames=("kp", "metric", "qt", "interpret",
-                                    "pos_bits"))
+                                    "pos_bits", "block_min"))
 def grouped_probe_scan(qpad, vecs, tile_off, tile_cnt, *,
                        kp: int, metric: str = "sqeuclidean",
                        qt: int = QT, interpret: bool = False,
-                       pos_bits: int = 0):
+                       pos_bits: int = 0, block_min: bool = False):
     """qpad [T*qt, D] f32 tile-packed queries; vecs [Npad, D]
     cluster-contiguous (f32 or bf16); tile_off/tile_cnt [T] int32.
     Returns (dists [T, qt, kp], csr_rows [T, qt, kp]).
@@ -310,7 +344,7 @@ def grouped_probe_scan(qpad, vecs, tile_off, tile_cnt, *,
         ],
     )
     kern = functools.partial(_grouped_scan_kernel, kp=kp, metric=metric,
-                             pos_bits=pos_bits)
+                             pos_bits=pos_bits, block_min=block_min)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -339,7 +373,8 @@ def merge_partials(out_d, out_i, pos, *, k: int):
 
 def ivf_grouped_search(q, probes, vecs, offsets, counts, *, k: int,
                        metric: str = "sqeuclidean", qt: int = QT,
-                       interpret: bool = False, pos_bits: int = 0):
+                       interpret: bool = False, pos_bits: int = 0,
+                       block_min: bool = False):
     """Full grouped pipeline: probes [B, npad] list ids (sentinel =
     nlists in padding slots). Returns (dists [B, k], csr_rows [B, k])."""
     B, npad = probes.shape
@@ -352,7 +387,8 @@ def ivf_grouped_search(q, probes, vecs, offsets, counts, *, k: int,
     out_d, out_i = grouped_probe_scan(qpad, vecs, tile_off, tile_cnt,
                                       kp=kp, metric=metric, qt=qt,
                                       interpret=interpret,
-                                      pos_bits=pos_bits)
+                                      pos_bits=pos_bits,
+                                      block_min=block_min)
     return merge_partials(out_d, out_i, pos.reshape(B, npad), k=k)
 
 

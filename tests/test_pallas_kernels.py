@@ -212,6 +212,39 @@ def test_grouped_scan_packed_selection(grouped_layout, rng, metric):
     assert n_swaps <= max(2, B // 8), n_swaps
 
 
+def test_grouped_scan_blockmin_selection(grouped_layout, rng):
+    """block_min=True (r5 lane-class tournament): LEGALLY APPROXIMATE
+    — at most one candidate per (query, segment, lane-class), so the
+    per-(query,probes) top-k set may drop same-class runners-up. The
+    contract: high set recall vs the exact oracle, and every returned
+    row's distance decodes correctly (within the packed rounding)."""
+    vecs, offsets, counts = grouped_layout
+    B, npad, k, pb = 24, 4, 10, 12
+    nlists = len(counts)
+    q = rng.standard_normal((B, 128)).astype(np.float32)
+    probes = _mk_probes(rng, B, npad, nlists)
+    rd, ri = ivf_grouped_search_reference(q, probes, vecs, offsets,
+                                          counts, k=k)
+    d, rows = ivf_grouped_search(
+        jnp.asarray(q), jnp.asarray(probes), jnp.asarray(vecs),
+        jnp.asarray(offsets), jnp.asarray(counts), k=k, interpret=True,
+        pos_bits=pb, block_min=True)
+    d, rows = np.asarray(d), np.asarray(rows)
+    recs = []
+    for b in range(B):
+        got = set(x for x in rows[b].tolist() if x >= 0)
+        want = set(x for x in ri[b].tolist() if x >= 0)
+        recs.append(len(got & want) / max(len(want), 1))
+    assert np.mean(recs) >= 0.9, np.mean(recs)
+    step = 2.0 ** (pb - 24)
+    for b in range(B):
+        for j, r in enumerate(rows[b]):
+            if r < 0:
+                continue
+            true = float(((vecs[r] - q[b]) ** 2).sum())
+            assert abs(d[b, j] - true) <= step * max(true, 1.0) + 1e-3
+
+
 def test_grouped_scan_ip(grouped_layout, rng):
     vecs, offsets, counts = grouped_layout
     B, k = 16, 5
