@@ -176,8 +176,12 @@ def _get_bm25_tiled_fn():
         nsteps, G, P = s_term.shape
         dt = jnp.float32 if f32 else jnp.bfloat16
         prec = jax.lax.Precision.HIGHEST if f32 else None
-        # heavy tier: occurrence counts -> one GEMM (same as the
-        # scatter-path scorer; see _get_bm25_device_fn)
+        # at scale the [B, n_docs] score matrix ITSELF is the traffic
+        # wall (2 GB f32 at B=512, 1M docs — the heavy GEMM's output
+        # write alone measured 31.6 ms): below the bf16 threshold keep
+        # f32 (host-oracle parity), above it accumulate bf16 (scores
+        # are O(1-10); ~2^-8 relative rounding, same class as the bf16
+        # heavy rows)
         hcols = jnp.arange(H, dtype=jnp.int32)
         counts = (heavy_idx[:, :, None] == hcols[None, None, :]
                   ).astype(jnp.float32).sum(axis=1)
@@ -185,7 +189,7 @@ def _get_bm25_tiled_fn():
             scores = jax.lax.dot_general(
                 counts.astype(jnp.bfloat16), w_dense,
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.bfloat16)
         else:
             scores = jax.lax.dot_general(
                 counts, w_dense, (((1,), (0,)), ((), ())),
@@ -197,8 +201,8 @@ def _get_bm25_tiled_fn():
                 ).astype(dt).sum(axis=1)
         tcol = jnp.arange(tile, dtype=jnp.int32)
 
-        def step(sc, inp):
-            terms_g, dloc_g, w_g, j = inp          # [G, P] x3, scalar
+        def step(_, inp):
+            terms_g, dloc_g, w_g = inp             # [G, P] x3
             # [G, P, S] term one-hot with the posting weight folded in;
             # -1 padding never matches (union pads with -2)
             oh = (terms_g[:, :, None] == union_terms[None, None, :]
@@ -209,33 +213,38 @@ def _get_bm25_tiled_fn():
             ts = jnp.einsum("bs,gst->bgt", qinc, M.astype(dt),
                             precision=prec,
                             preferred_element_type=jnp.float32)
-            ts = ts.reshape(B, G * tile)
-            off = j * (G * tile)
-            cur = jax.lax.dynamic_slice(sc, (0, off), (B, G * tile))
-            return jax.lax.dynamic_update_slice(sc, cur + ts, (0, off)), None
+            # emitted as scan OUTPUT, not carried: a dynamic_update_slice
+            # into a [B, n_docs] carry copied the WHOLE 2 GB carry every
+            # step on TPU (measured 3.7 ms/step of pure copy at 1M docs)
+            return None, ts.reshape(B, G * tile).astype(
+                jnp.float32 if f32 else jnp.bfloat16)
 
-        scores, _ = jax.lax.scan(
-            step, scores, (s_term, s_dloc, s_w,
-                           jnp.arange(nsteps, dtype=jnp.int32)))
+        if nsteps:          # build ships (0, ...) when no mid postings
+            _, ys = jax.lax.scan(step, None, (s_term, s_dloc, s_w))
+            # [nsteps, B, G*tile] -> [B, nsteps*G*tile]: one transpose
+            scores = (scores + jnp.moveaxis(ys, 0, 1).reshape(
+                B, nsteps * G * tile).astype(scores.dtype))
         # tiny tier (df <= seg_tiny): per-query narrow scatter — these
         # terms are EXACT in one seg_tiny-wide segment, and keeping
         # them out of the union keeps S (hence the M-build FLOPs, which
-        # scale as stream_nnz*S*tile) down to the mid-df terms only
+        # scale as stream_nnz*S*tile) down to the mid-df terms only.
+        # ALL tiny columns go through ONE batched scatter-add: every
+        # separate scatter op on a [B, n_docs] operand rewrites the
+        # whole 2 GB buffer on TPU (measured ~17 ms/op at 1M docs), so
+        # a per-column loop — scan, fori, or unrolled — pays that per
+        # column; one [B, TT*seg_tiny] scatter pays it once
         nnz_t = tiny_doc.shape[0]
+        TT = tiny_off.shape[1]
         rowb = jnp.arange(B, dtype=jnp.int32)[:, None]
-        col = jnp.arange(seg_tiny, dtype=jnp.int32)[None, :]
-
-        def tiny_step(sc, tcol):
-            off, cnt = tcol                            # [B] each
-            rows = off[:, None] + col                  # [B, seg_tiny]
-            ok = rows < (off + cnt)[:, None]
-            rs = jnp.clip(rows, 0, max(nnz_t - 1, 0))
-            docs = jnp.where(ok, tiny_doc[rs], 0)
-            ww = jnp.where(ok, tiny_w[rs], 0.0)
-            return sc.at[rowb, docs].add(ww), None
-
-        scores, _ = jax.lax.scan(tiny_step, scores,
-                                 (tiny_off.T, tiny_cnt.T))
+        col = jnp.arange(seg_tiny, dtype=jnp.int32)[None, None, :]
+        rows = tiny_off[:, :, None] + col              # [B, TT, st]
+        ok = rows < (tiny_off + tiny_cnt)[:, :, None]
+        rs = jnp.clip(rows, 0, max(nnz_t - 1, 0)).reshape(
+            B, TT * seg_tiny)
+        okf = ok.reshape(B, TT * seg_tiny)
+        docs = jnp.where(okf, tiny_doc[rs], 0)
+        ww = jnp.where(okf, tiny_w[rs], 0.0)
+        scores = scores.at[rowb, docs].add(ww.astype(scores.dtype))
         # w_dense columns are build-time padded to nsteps*G*tile
         return scores[:, :n_docs]
 
@@ -461,12 +470,11 @@ class BM25Index:
         nsteps = -(-ntiles // G)
         ntiles_p = nsteps * G
         tcnt = np.bincount(s_doc // T, minlength=ntiles_p)
-        Ppad = max(8, int(-(-int(tcnt.max()) // 8) * 8)) if len(s_doc) \
-            else 8
-        term_l = np.full((ntiles_p, Ppad), -1, np.int32)
-        dloc_l = np.zeros((ntiles_p, Ppad), np.int32)
-        w_l = np.zeros((ntiles_p, Ppad), np.float32)
         if len(s_doc):
+            Ppad = max(8, int(-(-int(tcnt.max()) // 8) * 8))
+            term_l = np.full((ntiles_p, Ppad), -1, np.int32)
+            dloc_l = np.zeros((ntiles_p, Ppad), np.int32)
+            w_l = np.zeros((ntiles_p, Ppad), np.float32)
             tile_of = s_doc // T
             starts = np.zeros(ntiles_p + 1, np.int64)
             np.cumsum(tcnt, out=starts[1:])
@@ -474,6 +482,12 @@ class BM25Index:
             term_l[tile_of, pos] = s_term
             dloc_l[tile_of, pos] = s_doc - tile_of * T
             w_l[tile_of, pos] = s_w
+        else:
+            # empty mid stream: nsteps=0 skips the scan at trace time
+            Ppad, nsteps, ntiles_p = 8, 0, 0
+            term_l = np.full((0, Ppad), -1, np.int32)
+            dloc_l = np.zeros((0, Ppad), np.int32)
+            w_l = np.zeros((0, Ppad), np.float32)
         # pad heavy rows to the tile grid so the scan's tile updates
         # never run past the score matrix
         Np = ntiles_p * T
@@ -748,7 +762,7 @@ class BM25Index:
                         f32=dev["f32"], seg_tiny=self.seg_tiny)
         if return_device:
             return out[:B]
-        return np.asarray(out)[:B]
+        return np.asarray(out[:B].astype(jnp.float32))
 
     def search(self, query: str, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         s = self.scores(query)

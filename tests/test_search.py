@@ -241,14 +241,17 @@ def test_bm25_bf16_heavy_tier():
     queries = [" ".join(rng.choice(vocab, 4)) for _ in range(17)]
     got = bm.scores_batch(queries, device=True)
     host = np.stack([bm.scores(q) for q in queries])
-    # bf16 weight rounding: ~2^-8 relative on the heavy rows
+    # bf16 rounding: ~2^-8 relative on the heavy rows AND (r5) on the
+    # at-scale score accumulator itself
     np.testing.assert_allclose(got, host, rtol=1.5e-2, atol=1e-2)
     # top-10 sets must agree with the exact oracle (order-insensitive)
     for g, h in zip(got, host):
         tg = set(np.argsort(-g)[:10].tolist())
         th = np.argsort(-h)
-        # accept ties at the oracle's k-th score boundary
-        cut = h[th[9]] - 1e-2
+        # accept ties at the oracle's k-th score boundary, within the
+        # bf16-relative rounding of the scores
+        kth = h[th[9]]
+        cut = kth - (1e-2 + 1.5e-2 * abs(kth))
         assert tg <= set(th[h[th] >= cut].tolist())
 
 
