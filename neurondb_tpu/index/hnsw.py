@@ -1090,8 +1090,11 @@ class HNSWIndex(BaseIndex):
         self.n = n
 
         mark = _phase_timer()
-        # (1) candidate kNN graph via IVF (exact for small corpora)
-        cand = self._bulk_knn_graph(x, K, nprobe)
+        # (1) candidate kNN graph via IVF (exact for small corpora).
+        # xj rides along: the corpus is already on device, and the IVF
+        # bootstrap re-uploading it (sample + full corpus) was 200+ s
+        # of the 1M build on a degraded-h2d tunnel slot (r5 profile)
+        cand = self._bulk_knn_graph(x, K, nprobe, xdev=xj)
         if mark:
             mark("knn_graph", cand if isinstance(cand, jax.Array) else None)
 
@@ -1251,7 +1254,15 @@ class HNSWIndex(BaseIndex):
                 if n <= 8192:
                     lab = labels_host(nbr)
                 else:
-                    lab = np.asarray(_component_labels(jnp_.asarray(nbr)))
+                    # native linear union-find (~0.4 s at 1M x 32) when
+                    # libndbnative is present; device min-label
+                    # propagation (~25 s at 1M — scatter-min on the
+                    # scalar core) as the fallback
+                    from neurondb_tpu import native as _nat
+                    lab = _nat.graph_components(nbr)
+                    if lab is None:
+                        lab = np.asarray(
+                            _component_labels(jnp_.asarray(nbr)))
             if mark:
                 mark(f"  bridge.labels[{rnd_}]")
             comps, lab_dense = np.unique(lab, return_inverse=True)
@@ -1355,14 +1366,16 @@ class HNSWIndex(BaseIndex):
                 mark(f"  bridge.link[{rnd_}]")
         return nbr
 
-    def _bulk_knn_graph(self, x: np.ndarray, K: int,
-                        nprobe: int) -> np.ndarray:
-        """[N, K] candidate rows per node (self stripped)."""
+    def _bulk_knn_graph(self, x: np.ndarray, K: int, nprobe: int,
+                        xdev: Optional[jax.Array] = None) -> np.ndarray:
+        """[N, K] candidate rows per node (self stripped). ``xdev``: the
+        same corpus already device-resident (f32, pre-normalized) — the
+        IVF bootstrap and self-queries then run upload-free."""
         n = x.shape[0]
         metric = "ip" if self._imetric == "ip" else "l2"
         if n <= 20000:                      # exact is cheap enough
             ids_all = np.empty((n, K + 1), np.int64)
-            xj = jnp.asarray(x)
+            xj = jnp.asarray(x) if xdev is None else xdev
             step = 4096
             for s in range(0, n, step):
                 e = min(s + step, n)
@@ -1401,7 +1414,7 @@ class HNSWIndex(BaseIndex):
             # depending on slot, ~5x the rest of the phase
             ivf = IVFFlatIndex(x, nlists=nlists, metric=metric,
                                seed=self._seed, kmeans_iters=10,
-                               sample_cap=131072)
+                               sample_cap=131072, device_vectors=xdev)
             if mark:
                 mark("  knn.ivf_build", ivf._vecs)
             batch = 16384
@@ -1414,6 +1427,20 @@ class HNSWIndex(BaseIndex):
             outs = []
             for s in range(0, n, batch):
                 e = min(s + batch, n)
+                if xdev is not None:
+                    # device slice: no per-batch 8 MB query upload. The
+                    # last partial batch slides its window back to keep
+                    # the compiled shape, then drops the overlap rows so
+                    # block i always holds results for rows [s, e).
+                    start = s if e - s == batch else max(0, n - batch)
+                    qb = jax.lax.dynamic_slice_in_dim(
+                        xdev, start, min(batch, n), axis=0)
+                    res = ivf.search(qb, k=K + 1, nprobe=nprobe,
+                                     out="device")[1]
+                    if start != s:
+                        res = res[s - start:]
+                    outs.append(res)
+                    continue
                 qb = x[s:e]
                 if e - s < batch:
                     qb = np.concatenate(

@@ -256,7 +256,17 @@ class IVFFlatIndex(BaseIndex):
                  metric: str = "l2", ids=None, seed: int = 0,
                  kmeans_iters: Optional[int] = None,
                  sample_cap: Optional[int] = None,
-                 spherical: Optional[bool] = None):
+                 spherical: Optional[bool] = None,
+                 device_vectors: Optional[jax.Array] = None):
+        """``device_vectors``: the same corpus already resident on device
+        as f32 [n, d] (spherical-normalized if the metric requires it).
+        The build then never re-uploads the corpus: the k-means sample
+        is a device-side gather and list packing reuses the array. The
+        HNSW bulk build passes this — its corpus is on device before the
+        IVF bootstrap, and through the axon tunnel the two redundant
+        uploads (67 MB sample + 512 MB corpus at 1M x 128) were 200+ s
+        of the build on a degraded-h2d slot (r5 profile: ALL of the
+        bootstrap's k-means compute is <1 s; the uploads were the rest)."""
         cfg = get_config()
         x = np.asarray(vectors, np.float32)
         n, d = x.shape
@@ -279,24 +289,37 @@ class IVFFlatIndex(BaseIndex):
         cap = int(sample_cap if sample_cap is not None
                   else max(cfg.ivf_sample_cap, self.nlists * 100))
         rng = np.random.default_rng(seed)
-        sample = x if n <= cap else x[rng.choice(n, cap, replace=False)]
-        state = kmeans_fit(jnp.asarray(sample), self.nlists,
+        xdev = device_vectors
+        if xdev is not None:
+            if n <= cap:
+                sample_dev = xdev
+            else:
+                idx = rng.choice(n, cap, replace=False)
+                sample_dev = jnp.take(xdev, jnp.asarray(idx), axis=0)
+        else:
+            sample = x if n <= cap else x[rng.choice(n, cap,
+                                                     replace=False)]
+            sample_dev = jnp.asarray(sample)
+        state = kmeans_fit(sample_dev, self.nlists,
                            max_iter=int(kmeans_iters or cfg.ivf_kmeans_iters),
                            tol=cfg.ivf_kmeans_tol, seed=seed)
         self.centroids = state.centroids
         self.train_inertia = float(state.inertia)
-        self._build_lists(x)
+        self._build_lists(x, xdev=xdev)
         self._spill: list = []        # unindexed inserts, exact-scanned
 
     # ---- list construction ----
     LIST_ALIGN = 32   # rows; Mosaic DMA starts must be sublane-aligned
 
-    def _build_lists(self, x: np.ndarray) -> None:
-        # ONE corpus upload: the tunnel moves ~50 MB/s, so the previous
-        # flow's two f32 uploads (predict + reordered copy) were ~20 s
-        # of the 1M build. Predict, CSR-pack, norms, and the bf16 cast
-        # all reuse the same device array.
-        xdev = jnp.asarray(x)
+    def _build_lists(self, x: np.ndarray,
+                     xdev: Optional[jax.Array] = None) -> None:
+        # ONE corpus upload (ZERO when the caller hands us its device
+        # array): the tunnel moves ~50 MB/s, so the previous flow's two
+        # f32 uploads (predict + reordered copy) were ~20 s of the 1M
+        # build. Predict, CSR-pack, norms, and the bf16 cast all reuse
+        # the same device array.
+        if xdev is None:
+            xdev = jnp.asarray(x)
         labels = np.asarray(kmeans_predict(self.centroids, xdev))
         order = np.argsort(labels, kind="stable")
         counts = np.bincount(labels, minlength=self.nlists).astype(np.int32)

@@ -67,6 +67,14 @@ def attention_reference(q, k, v, mask=None, scale: Optional[float] = None):
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
                   m_scr, l_scr, acc_scr, *, kv_tiles: int, scale: float):
+    """Online softmax runs in the exp2 domain: log2(e) is folded into
+    the one multiply the kernel already pays (``scale``), so the
+    per-element transcendental is the VPU's native exp2 with no extra
+    ln2 fixup ops. The [qt, kt] elementwise stream (select + exp +
+    running-max) is what bounds this kernel at Dh=128 — the MXU does
+    2*2*Dh flops per score element vs ~6-10 VPU ops, and the v5e
+    MXU:VPU throughput ratio (~50:1) makes those streams comparable —
+    so every saved VPU op per element is visible end-to-end."""
     qi = pl.program_id(1)
 
     @pl.when(pl.program_id(2) == 0)
@@ -78,16 +86,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     q = q_ref[0]                                        # [Q_TILE, Dh]
     kt = k_ref[0]                                       # [KV_TILE, Dh]
     vt = v_ref[0]
-    msk = mask_ref[0]                                   # [1, KV_TILE]
     # bf16 x bf16 -> f32 hits the MXU's native path (f32 x f32 matmuls
     # run as multi-pass emulation); inputs arrive pre-cast (see wrapper)
     s = jnp.dot(q, kt.T, preferred_element_type=jnp.float32) * scale
-    s = jnp.where(msk > 0, s, NEG_INF)                  # [Q_TILE, KV_TILE]
+    if mask_ref is not None:
+        msk = mask_ref[0]                               # [1, KV_TILE]
+        s = jnp.where(msk > 0, s, NEG_INF)              # [Q_TILE, KV_TILE]
 
     m_prev = m_scr[:]                                   # [Q_TILE, 1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
         p.astype(vt.dtype), vt, preferred_element_type=jnp.float32)
@@ -99,22 +108,39 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
         o_ref[0] = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bf16"))
+LOG2E = 1.4426950408889634
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16",
+                                             "tiles"))
 def flash_attention(q, k, v, mask=None, *, interpret: bool = False,
-                    bf16: bool = True):
+                    bf16: bool = True,
+                    tiles: Optional[tuple] = None):
     """q,k,v [B, H, S, Dh]; mask [B, S] bool/int (True = attend). S padded
     to tile multiples by the caller or here. ``bf16=True`` (default)
     computes QK^T and PV as bf16 x bf16 -> f32 MXU matmuls (the round-2
     perf pass: f32 matmuls run as multi-pass MXU emulation); the
-    online-softmax state stays f32."""
+    online-softmax state stays f32 (exp2 domain — see _flash_kernel).
+
+    When ``mask is None`` and S needs no padding, the kernel is
+    specialized WITHOUT a mask operand: the [qt, kt] compare+select per
+    KV tile is pure VPU cost on this kernel's critical elementwise
+    stream (r5 utilization pass). ``tiles=(q_tile, kv_tile)`` overrides
+    the measured defaults (sweep hook; both multiples of 128)."""
     B, H, S, Dh = q.shape
-    scale = 1.0 / (Dh ** 0.5)
+    # exp2-domain softmax: fold log2(e) into the scale multiply the
+    # kernel already performs
+    scale = LOG2E / (Dh ** 0.5)
+    s_round = S + ((-S) % 128)
+    if tiles is not None:
+        q_tile, kv_tile = tiles
+    else:
+        q_tile, kv_tile = _pick_tiles(s_round, Dh)
+    pad_s = (-S) % max(q_tile, kv_tile)
+    no_mask = mask is None and pad_s == 0
     if mask is None:
         mask = jnp.ones((B, S), jnp.int32)
     mask = mask.astype(jnp.int32)
-    s_round = S + ((-S) % 128)
-    q_tile, kv_tile = _pick_tiles(s_round, Dh)
-    pad_s = (-S) % max(q_tile, kv_tile)
     if pad_s:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
@@ -126,23 +152,36 @@ def flash_attention(q, k, v, mask=None, *, interpret: bool = False,
     qf = q.reshape(bh, Sp, Dh).astype(dt)
     kf = k.reshape(bh, Sp, Dh).astype(dt)
     vf = v.reshape(bh, Sp, Dh).astype(dt)
-    maskf = jnp.repeat(mask[:, None, :], H, axis=1).reshape(bh, 1, Sp)
     q_tiles = Sp // q_tile
     kv_tiles = Sp // kv_tile
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_tiles=kv_tiles, scale=scale),
-        grid=(bh, q_tiles, kv_tiles),
-        in_specs=[
-            pl.BlockSpec((1, q_tile, Dh), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_tile, Dh), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_tile, Dh), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec((1, q_tile, Dh), lambda b, i, j: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_tile, Dh), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kv_tile, Dh), lambda b, i, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf]
+    if no_mask:
+        def kern(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+            return _flash_kernel(q_ref, k_ref, v_ref, None, o_ref,
+                                 m_scr, l_scr, acc_scr,
+                                 kv_tiles=kv_tiles, scale=scale)
+    else:
+        maskf = jnp.repeat(mask[:, None, :], H, axis=1).reshape(bh, 1, Sp)
+        in_specs.append(
             pl.BlockSpec((1, 1, kv_tile), lambda b, i, j: (b, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+                         memory_space=pltpu.VMEM))
+        operands.append(maskf)
+        kern = functools.partial(_flash_kernel, kv_tiles=kv_tiles,
+                                 scale=scale)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(bh, q_tiles, kv_tiles),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, q_tile, Dh), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, Sp, Dh), jnp.float32),
@@ -152,6 +191,6 @@ def flash_attention(q, k, v, mask=None, *, interpret: bool = False,
             pltpu.VMEM((q_tile, Dh), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf, maskf)
+    )(*operands)
     out = out.reshape(B, H, Sp, Dh)
     return out[:, :, :S, :]

@@ -209,3 +209,33 @@ def test_legacy_void_bf16_checkpoint_loads(tmp_path, rng):
     back = FlatIndex.load(str(tmp_path / "legacy"))
     _, ids = back.search(x[:8], k=3)
     assert (ids[:, 0] == np.arange(8)).all()
+
+
+def test_ivf_device_vectors_parity(corpus):
+    """device_vectors (pre-uploaded corpus, r5 HNSW-build transfer fix)
+    must produce the same index as the host-array constructor: same
+    centroids (same seed/sample), same list assignment, same search."""
+    x, q = corpus
+    a = IVFFlatIndex(x, nlists=32, metric="l2", seed=0)
+    b = IVFFlatIndex(x, nlists=32, metric="l2", seed=0,
+                     device_vectors=jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(a.centroids),
+                               np.asarray(b.centroids), rtol=1e-5,
+                               atol=1e-5)
+    da, ia = a.search(q, k=10, nprobe=8)
+    db, ib = b.search(q, k=10, nprobe=8)
+    assert (ia == ib).mean() > 0.99      # MXU nondeterminism tolerance
+    np.testing.assert_allclose(da, db, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_device_vectors_spherical(corpus):
+    """cosine: device_vectors arrives pre-normalized (the HNSW caller
+    normalizes before upload) — search results must match the host path."""
+    x, q = corpus
+    xs = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    a = IVFFlatIndex(x, nlists=32, metric="cosine", seed=0)
+    b = IVFFlatIndex(x, nlists=32, metric="cosine", seed=0,
+                     device_vectors=jnp.asarray(xs))
+    _, ia = a.search(q, k=10, nprobe=32)
+    _, ib = b.search(q, k=10, nprobe=32)
+    assert (ia == ib).mean() > 0.99
