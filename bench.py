@@ -269,8 +269,17 @@ def main():
 
     platforms = os.environ.get("JAX_PLATFORMS", "")
     if platforms.startswith(("axon", "tpu")) or platforms == "":
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--prewarm-only"], check=True, timeout=400)
+        try:
+            subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--prewarm-only"], check=True, timeout=400)
+        except (subprocess.TimeoutExpired,
+                subprocess.CalledProcessError) as e:
+            # a degraded tunnel slot can stall the prewarm child (r5:
+            # h2d swung 76 MB/s -> <0.03 MB/s within one session);
+            # prewarm only primes the persistent compile cache, so the
+            # bench itself must survive its loss
+            print(f"# prewarm skipped: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
 
     import jax
     from neurondb_tpu.index import IVFFlatIndex
