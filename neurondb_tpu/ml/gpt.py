@@ -264,10 +264,22 @@ def _prefill(params, ids, lens, heads, cache_len, kv_int8=False):
     return logits_last, cache
 
 
-def _decode_step(params, cache, token, step, S, lens, heads):
+def _decode_step(params, cache, token, step, S, lens, heads,
+                 int8_dot=False):
     """One-token forward attending to the cache. ``step`` counts decoded
     tokens so the new KV lands at index S + step; key j is visible iff
-    j >= S - len (prompt region, left-padded) or S <= j <= S + step."""
+    j >= S - len (prompt region, left-padded) or S <= j <= S + step.
+
+    ``int8_dot`` (int8 caches only): both attention dots run on the
+    MXU's int8 x int8 -> int32 path against the RAW cache codes — the
+    r5 int8-KV A/B showed the per-step whole-cache dequant
+    (O(B*H*P*dh) VPU work) eating the bandwidth win (finding 1). Here
+    the per-token scales fold as rank-1 rescales on O(B*H*P) operands:
+    scores = (q_codes @ k_codes) * (sq * k_scales); for the output dot
+    the value scales fold INTO the attention weights before they are
+    quantized (o_d = sum_k a_k*sv_k*v_codes[k,d]), so the only
+    quantization added beyond the cache itself is the int8 rounding of
+    q and of the softmax weights (~2^-7 relative each)."""
     B = token.shape[0]
     pos = lens + step                               # per-row position id
     x = params["wte"][token] + params["wpe"][pos]   # [B, H]
@@ -290,12 +302,31 @@ def _decode_step(params, cache, token, step, S, lens, heads):
         cv = _cache_update(cache["v"][li], vh, S + step)
         new_k.append(ck)
         new_v.append(cv)
-        s = jnp.einsum("bhd,bhkd->bhk", qh, _dequant_kv(ck),
-                       preferred_element_type=jnp.float32) * scale
+        if int8_dot and isinstance(ck, tuple):
+            kc, ksc = ck                     # [B,H,P,dh] i8, [B,H,P] f32
+            sq = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1) / 127.0,
+                             1e-12)          # [B,H]
+            qq = jnp.round(qh / sq[..., None]).astype(jnp.int8)
+            si = jnp.einsum("bhd,bhkd->bhk", qq, kc,
+                            preferred_element_type=jnp.int32)
+            s = si.astype(jnp.float32) * (sq[..., None] * ksc) * scale
+        else:
+            s = jnp.einsum("bhd,bhkd->bhk", qh, _dequant_kv(ck),
+                           preferred_element_type=jnp.float32) * scale
         s = jnp.where(visible[:, None, :], s, _NEG)
         a = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("bhk,bhkd->bhd", a, _dequant_kv(cv),
-                       preferred_element_type=jnp.float32)
+        if int8_dot and isinstance(cv, tuple):
+            vc, vsc = cv
+            aw = a * vsc                     # value scales fold here
+            sa = jnp.maximum(jnp.max(jnp.abs(aw), axis=-1) / 127.0,
+                             1e-12)          # [B,H]
+            aq = jnp.round(aw / sa[..., None]).astype(jnp.int8)
+            oi = jnp.einsum("bhk,bhkd->bhd", aq, vc,
+                            preferred_element_type=jnp.int32)
+            o = oi.astype(jnp.float32) * sa[..., None]
+        else:
+            o = jnp.einsum("bhk,bhkd->bhd", a, _dequant_kv(cv),
+                           preferred_element_type=jnp.float32)
         att = o.reshape(B, H)
         x = x + _mm(att, blk["w_o"]) + blk["b_o"]
         h = _ln(x, blk["ln2"]["g"], blk["ln2"]["b"])
@@ -339,30 +370,36 @@ def _sample(logits, key, temperature, top_k, top_p, do_sample):
 def generate_ids(params: Dict, ids, lens, key, *, heads: int, max_new: int,
                  cache_len: int, temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, eos_id: int = -1,
-                 kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
+                 kv_int8: bool = False,
+                 int8_dot: bool = False) -> Tuple[jax.Array, jax.Array]:
     """ids [B, S] LEFT-padded prompts (lens [B] valid suffix lengths) ->
     (tokens [B, max_new], n_valid [B]). One prefill + one lax.scan; rows
     that emit ``eos_id`` keep emitting it (n_valid counts through the
     first eos). The sampling structure is specialized at trace time:
     temperature <= 0 compiles a pure-argmax decode. ``kv_int8`` stores
     the KV cache as (int8 codes, per-token f32 scales) — the serving
-    option when the per-step KV read dominates HBM traffic."""
+    option when the per-step KV read dominates HBM traffic. ``int8_dot``
+    (implies the int8 cache) additionally runs both attention dots on
+    the MXU int8 path against the raw codes — see _decode_step."""
     return _generate_ids(params, jnp.asarray(ids), jnp.asarray(lens), key,
                          heads=heads, max_new=max_new, cache_len=cache_len,
                          temperature=float(temperature), top_k=top_k,
                          top_p=top_p, eos_id=eos_id,
                          do_sample=float(temperature) > 0.0,
-                         kv_int8=bool(kv_int8))
+                         kv_int8=bool(kv_int8) or bool(int8_dot),
+                         int8_dot=bool(int8_dot))
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "max_new", "top_k",
                                              "cache_len", "eos_id",
-                                             "do_sample", "kv_int8"))
+                                             "do_sample", "kv_int8",
+                                             "int8_dot"))
 def _generate_ids(params: Dict, ids: jax.Array, lens: jax.Array,
                   key: jax.Array, *, heads: int, max_new: int,
                   cache_len: int, temperature: float, top_k: int,
                   top_p: float, eos_id: int, do_sample: bool,
-                  kv_int8: bool = False) -> Tuple[jax.Array, jax.Array]:
+                  kv_int8: bool = False,
+                  int8_dot: bool = False) -> Tuple[jax.Array, jax.Array]:
     B, S = ids.shape
     logits0, cache = _prefill(params, ids, lens, heads, cache_len,
                               kv_int8=kv_int8)
@@ -374,7 +411,8 @@ def _generate_ids(params: Dict, ids: jax.Array, lens: jax.Array,
         tok = _sample(logits, k_step, temperature, top_k, top_p, do_sample)
         tok = jnp.where(done, eos_id, tok)
         done = done | (tok == eos_id)
-        logits, cache = _decode_step(params, cache, tok, i, S, lens, heads)
+        logits, cache = _decode_step(params, cache, tok, i, S, lens,
+                                     heads, int8_dot=int8_dot)
         return (logits, cache, done, i + 1), tok
 
     keys = jax.random.split(key, max_new)

@@ -25,6 +25,9 @@ are small next to it at these geometries).
 
 NDB_GPT_KV=int8 additionally stores the KV cache as (int8 codes,
 per-token f32 scales) — kv_bytes drops to ~1.06 (1 + 4/head_dim).
+NDB_GPT_KV=int8dot also runs both attention dots on the MXU int8 path
+against the raw codes (no per-step whole-cache dequant — the VPU work
+that capped plain int8 KV at 1.32x; IMPLEMENTATION_NOTES r5 finding 1).
 """
 
 import json
@@ -47,7 +50,9 @@ def main() -> None:
     sweep = [int(b) for b in os.environ.get(
         "NDB_GPT_SWEEP", os.environ.get("NDB_GPT_B", "32")).split(",")]
     dtype = os.environ.get("NDB_GPT_DTYPE", "bfloat16")  # serving default
-    kv_int8 = os.environ.get("NDB_GPT_KV", "") == "int8"
+    kv_mode = os.environ.get("NDB_GPT_KV", "")
+    kv_int8 = kv_mode in ("int8", "int8dot")
+    int8_dot = kv_mode == "int8dot"
 
     import jax
     import jax.numpy as jnp
@@ -89,7 +94,8 @@ def main() -> None:
             toks, _ = generate_ids(
                 params, ids, lens, jax.random.PRNGKey(seed), heads=heads,
                 max_new=max_new, cache_len=cache_len, temperature=0.8,
-                top_k=40, top_p=0.95, kv_int8=kv_int8)
+                top_k=40, top_p=0.95, kv_int8=kv_int8,
+                int8_dot=int8_dot)
             np.asarray(toks)              # value fetch = true barrier
             return time.perf_counter() - t0
 
@@ -118,7 +124,7 @@ def main() -> None:
         "config": {"layers": layers, "hidden": hidden, "heads": heads,
                    "batch": best["batch"], "prompt": prompt_len,
                    "new": max_new, "dtype": dtype,
-                   "kv": "int8" if kv_int8 else "default"},
+                   "kv": kv_mode if kv_mode else "default"},
         "seconds_per_gen_median": best["seconds_per_gen_median"],
         "ms_per_token_step": best["ms_per_token_step"],
         "achieved_gb_s": best["achieved_gb_s"],

@@ -182,6 +182,26 @@ def test_int8_kv_cache_decode(hf_pair):
     assert np.asarray(got)[0].tolist() == np.asarray(want)[0].tolist()
 
 
+def test_int8_dot_decode(hf_pair):
+    """int8 attention dots (r5: both decode dots on the MXU int8 path
+    against raw cache codes, per-token scales folded as rank-1 output
+    rescales) add only int8 rounding of q and of the softmax weights
+    on top of the int8 cache — greedy decode must match the exact-cache
+    tokens on this geometry."""
+    _, params, cfg = hf_pair
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, cfg.vocab_size, 9).tolist()
+    ids = jnp.asarray([prompt], jnp.int32)
+    lens = jnp.asarray([len(prompt)], jnp.int32)
+    want, _ = generate_ids(params, ids, lens, jax.random.PRNGKey(0),
+                           heads=cfg.n_head, max_new=8, cache_len=32,
+                           temperature=0.0)
+    got, _ = generate_ids(params, ids, lens, jax.random.PRNGKey(0),
+                          heads=cfg.n_head, max_new=8, cache_len=32,
+                          temperature=0.0, int8_dot=True)
+    assert np.asarray(got)[0].tolist() == np.asarray(want)[0].tolist()
+
+
 def test_generate_batch_left_pad_consistency(hf_pair):
     """Rows of a left-padded batch generate the same greedy tokens as
     each row alone."""
