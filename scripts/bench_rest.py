@@ -13,7 +13,10 @@ one device dispatch per window.
 Env: NDB_BENCH_N (corpus rows, default 1M), NDB_REST_CLIENTS (default
 64), NDB_REST_PROCS (client processes, default 8), NDB_REST_SECONDS
 (default 10), NDB_REST_WINDOW_MS (default 10), NDB_REST_NPROBE
-(default 8), NDB_REST_BATCHING=0 to measure the unbatched path.
+(default 8), NDB_REST_BATCHING=0 to measure the unbatched path,
+NDB_REST_WIRE=bin to drive /api/v1/search.bin (raw f32 body + packed
+binary response — r5: float-list JSON parse/encode was the measured
+wall at 479 QPS on one core).
 """
 
 import http.client
@@ -29,7 +32,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _client_proc(port, qfile, threads, seconds, seed, out_q):
+def _client_proc(port, qfile, threads, seconds, seed, out_q,
+                 binwire=False):
     """One client process: `threads` keep-alive connections issuing
     sequential searches for `seconds` from ITS OWN start (spawn +
     numpy import cost several seconds; a parent-fixed deadline would
@@ -47,13 +51,19 @@ def _client_proc(port, qfile, threads, seconds, seed, out_q):
         my = []
         done = 0
         while time.time() < stop_at:
-            payload = json.dumps(
-                {"vector": q[int(rng.integers(0, nq))].tolist(),
-                 "k": 10}).encode()
+            if binwire:
+                payload = q[int(rng.integers(0, nq))].tobytes()
+                path, ctype = ("/api/v1/search.bin?k=10",
+                               "application/octet-stream")
+            else:
+                payload = json.dumps(
+                    {"vector": q[int(rng.integers(0, nq))].tolist(),
+                     "k": 10}).encode()
+                path, ctype = "/api/v1/search", "application/json"
             t1 = time.time()
             try:
-                conn.request("POST", "/api/v1/search", payload,
-                             {"Content-Type": "application/json"})
+                conn.request("POST", path, payload,
+                             {"Content-Type": ctype})
                 r = conn.getresponse()
                 body = r.read()
                 assert r.status == 200, body[:200]
@@ -90,6 +100,7 @@ def main():
     seconds = float(os.environ.get("NDB_REST_SECONDS", 10))
     window_ms = float(os.environ.get("NDB_REST_WINDOW_MS", 10))
     batching = os.environ.get("NDB_REST_BATCHING", "1") != "0"
+    binwire = os.environ.get("NDB_REST_WIRE", "json") == "bin"
 
     x = make_corpus(n, d)
     rng = np.random.default_rng(1)
@@ -126,7 +137,8 @@ def main():
     out_q = ctx.Queue()
     per = max(1, clients // procs)
     ps = [ctx.Process(target=_client_proc,
-                      args=(port, qfile, per, seconds, i, out_q))
+                      args=(port, qfile, per, seconds, i, out_q,
+                            binwire))
           for i in range(procs)]
     for p in ps:
         p.start()
@@ -152,6 +164,7 @@ def main():
         "unit": "qps", "n": n, "clients": per * procs,
         "client_procs": procs, "batching": batching,
         "window_ms": window_ms, "nprobe": nprobe,
+        "wire": "bin" if binwire else "json",
         "p50_ms": round(float(la[len(la) // 2]) * 1000, 2),
         "p99_ms": round(float(la[int(len(la) * 0.99)]) * 1000, 2),
         "requests": total, "build_seconds": round(build_s, 1),

@@ -44,4 +44,11 @@ echo "=== cross-encoder rerank $(date +%H:%M:%S) ==="
 timeout 1200 python -u scripts/bench_rerank.py 2>&1 \
     | grep --line-buffered -v WARNING
 
+echo "=== rest wire A/B 200k $(date +%H:%M:%S) ==="
+for W in json bin; do
+    NDB_BENCH_N=200000 NDB_REST_SECONDS=10 NDB_REST_WIRE=$W \
+        timeout 900 python -u scripts/bench_rest.py 2>&1 \
+        | grep --line-buffered -v WARNING | tail -1
+done
+
 echo "=== done $(date +%H:%M:%S) ==="

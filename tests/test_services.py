@@ -203,6 +203,27 @@ def test_rest_search_endpoint(rest_server, rng):
     assert ei.value.code == 404
 
 
+def test_rest_search_binary_wire(rest_server, rng):
+    """/api/v1/search.bin: raw f32 body in, packed int64 ids + f32
+    distances out (r5 serving wire — JSON float-list parse/encode was
+    the measured REST wall)."""
+    srv, port = rest_server
+    from neurondb_tpu.index import FlatIndex
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    srv.add_collection("default", FlatIndex(x))
+    url = f"http://127.0.0.1:{port}/api/v1/search.bin?k=3"
+    req = urllib.request.Request(url, data=x[7].tobytes())
+    req.add_header("Content-Type", "application/octet-stream")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert r.status == 200
+        k = int(r.headers["X-NDB-K"])
+        raw = r.read()
+    ids = np.frombuffer(raw[:8 * k], np.int64)
+    dist = np.frombuffer(raw[8 * k:], np.float32)
+    assert ids[0] == 7 and len(dist) == k
+    assert dist[0] <= dist[1] <= dist[2]
+
+
 def test_rest_metrics(rest_server):
     srv, port = rest_server
     _req(port, "/health")
