@@ -178,27 +178,53 @@ class TextEmbedder:
 
 class CrossEncoder:
     """(query, doc) pair scorer — rerank_cross_encoder / rerank_flash
-    backend (src/ml/reranking.c:92, ml_reranking_flash.c:64)."""
+    backend (src/ml/reranking.c:92, ml_reranking_flash.c:64).
+
+    Large doc lists are scored in ``batch``-sized sub-batches with the
+    host tokenizer PIPELINED against the device encoder: each sub-batch
+    is dispatched asynchronously (no value fetch), so tokenizing
+    sub-batch i+1 overlaps encoding of sub-batch i, and only the final
+    score fetch synchronizes. The r3 rerank profile measured the
+    tokenizer at ~20% of end-to-end wall (BASELINE.md cross-encoder
+    row); overlapping it folds that share into the device window. The
+    tail sub-batch is padded to ``batch`` rows so every dispatch reuses
+    one compiled shape (each new shape is a fresh tunnel compile)."""
 
     def __init__(self, params: Optional[Dict] = None, *, dim: int = 256,
                  heads: int = 4, max_len: int = 256, seed: int = 0,
-                 use_flash: Optional[bool] = None):
+                 use_flash: Optional[bool] = None, batch: int = 64):
         if params is None:
             params = init_encoder_params(jax.random.PRNGKey(seed),
                                          hidden=dim)
         self.params = params
         self.heads = heads
         self.max_len = max_len
+        self.batch = batch
         self.tok = HashTokenizer(params["tok_emb"].shape[0])
         self.use_flash = (jax.default_backend() == "tpu"
                           if use_flash is None else use_flash)
 
-    def __call__(self, query: str, docs: Sequence[str]) -> np.ndarray:
-        ids = np.stack([self.tok.encode_pair(query, d, self.max_len)
-                        for d in docs])
-        out = encode(self.params, jnp.asarray(ids), heads=self.heads,
-                     use_flash=self.use_flash)
-        return np.asarray(out["score"])
+    def __call__(self, query: str, docs: Sequence[str],
+                 batch: Optional[int] = None) -> np.ndarray:
+        bs = self.batch if batch is None else batch
+        n = len(docs)
+        if not bs or n <= bs:
+            ids = np.stack([self.tok.encode_pair(query, d, self.max_len)
+                            for d in docs])
+            out = encode(self.params, jnp.asarray(ids), heads=self.heads,
+                         use_flash=self.use_flash)
+            return np.asarray(out["score"])
+        outs = []
+        for s in range(0, n, bs):
+            chunk = list(docs[s: s + bs])
+            if len(chunk) < bs:                 # pad tail: one jit shape
+                chunk += [chunk[-1]] * (bs - len(chunk))
+            ids = np.stack([self.tok.encode_pair(query, d, self.max_len)
+                            for d in chunk])
+            out = encode(self.params, jnp.asarray(ids), heads=self.heads,
+                         use_flash=self.use_flash)
+            outs.append(out["score"])           # async dispatch, no sync
+        return np.concatenate([np.asarray(o) for o in outs])[:n]
 
 
 class PretrainedEmbedder:
@@ -246,7 +272,7 @@ class PretrainedCrossEncoder:
     weights (export_hf.py --cross-encoder)."""
 
     def __init__(self, weights_dir: str, *, max_len: int = 256,
-                 use_flash: Optional[bool] = None):
+                 use_flash: Optional[bool] = None, batch: int = 64):
         import json
         import os
         from neurondb_tpu.ml.bert import load_bert_npz
@@ -260,18 +286,33 @@ class PretrainedCrossEncoder:
             lowercase=cfg.get("lowercase", True))
         self.heads = int(cfg["heads"])
         self.max_len = min(max_len, int(cfg.get("max_len", 512)))
+        self.batch = batch
         self.use_flash = (jax.default_backend() == "tpu"
                           if use_flash is None else use_flash)
 
-    def __call__(self, query: str, docs: Sequence[str]) -> np.ndarray:
+    def __call__(self, query: str, docs: Sequence[str],
+                 batch: Optional[int] = None) -> np.ndarray:
+        """Tokenizer-pipelined like CrossEncoder.__call__: sub-batches
+        dispatch asynchronously so WordPiece tokenization of sub-batch
+        i+1 overlaps the device encode of sub-batch i (the tokenizer is
+        ~20% of rerank wall — BASELINE.md cross-encoder row)."""
         from neurondb_tpu.ml.bert import bert_encode
-        enc = [self.tok.encode_pair(query, d, self.max_len) for d in docs]
-        ids = np.stack([e[0] for e in enc])
-        types = np.stack([e[1] for e in enc])
-        out = bert_encode(self.params, jnp.asarray(ids),
-                          jnp.asarray(types), heads=self.heads,
-                          use_flash=self.use_flash)
-        return np.asarray(out["score"])
+        bs = self.batch if batch is None else batch
+        n = len(docs)
+        outs = []
+        for s in range(0, n, bs or n):
+            chunk = list(docs[s: s + (bs or n)])
+            if bs and len(chunk) < bs and n > bs:  # pad tail: one shape
+                chunk += [chunk[-1]] * (bs - len(chunk))
+            enc = [self.tok.encode_pair(query, d, self.max_len)
+                   for d in chunk]
+            ids = np.stack([e[0] for e in enc])
+            types = np.stack([e[1] for e in enc])
+            out = bert_encode(self.params, jnp.asarray(ids),
+                              jnp.asarray(types), heads=self.heads,
+                              use_flash=self.use_flash)
+            outs.append(out["score"])          # async dispatch, no sync
+        return np.concatenate([np.asarray(o) for o in outs])[:n]
 
 
 def default_embedder(*, dim: int = 256, seed: int = 0):

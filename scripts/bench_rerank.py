@@ -108,6 +108,48 @@ def main():
             "encode_bound_docs_per_s": round(reps * B / enc_s, 1),
             "backend": jax.default_backend()}), flush=True)
 
+    # ---- tokenizer-pipelined serving A/B (VERDICT r4 item 8): score
+    # 256 docs in sub-batches of 64. serial = tokenize -> dispatch ->
+    # FETCH each sub-batch (tokenizer and device strictly alternate);
+    # pipelined = dispatch each sub-batch WITHOUT a fetch so tokenizing
+    # sub-batch i+1 overlaps encoding sub-batch i, one fetch pass at the
+    # end. Same single-encode jit both sides; value fetches only
+    # (block_until_ready returns early through the tunnel).
+    @jax.jit
+    def enc1(params, ids, types):
+        return bert_encode(params, ids, types, heads=heads,
+                           use_flash=use_flash)["score"]
+
+    B, total = 64, 256
+    all_docs = docs[:total]
+    e = [tok.encode_pair(query, d, max_len) for d in all_docs[:B]]
+    np.asarray(enc1(params, jnp.asarray(np.stack([x[0] for x in e])),
+                    jnp.asarray(np.stack([x[1] for x in e]))))  # warm
+    for mode in ("serial", "pipelined"):
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            outs = []
+            for s in range(0, total, B):
+                e = [tok.encode_pair(query, d, max_len)
+                     for d in all_docs[s: s + B]]
+                o = enc1(params,
+                         jnp.asarray(np.stack([x[0] for x in e])),
+                         jnp.asarray(np.stack([x[1] for x in e])))
+                if mode == "serial":
+                    o = np.asarray(o)
+                outs.append(o)
+            for o in outs:
+                np.asarray(o)
+            walls.append(time.time() - t0)
+        w = sorted(walls)[1]
+        print(json.dumps({
+            "metric": f"cross_encoder_{mode}_docs_per_s",
+            "value": round(total / w, 1), "unit": "docs/s",
+            "batch": B, "total_docs": total, "seq_len": max_len,
+            "wall_s_median": round(w, 3),
+            "backend": jax.default_backend()}), flush=True)
+
 
 if __name__ == "__main__":
     main()

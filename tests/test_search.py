@@ -168,6 +168,18 @@ def test_rerank_cross_encoder_api():
     assert order[0] in (0, 3)
 
 
+def test_cross_encoder_pipelined_batches_match_single_shot():
+    # sub-batched dispatch (tokenizer pipelined against the device
+    # encoder, tail padded to one compile shape) must score identically
+    # to the one-shot path
+    from neurondb_tpu.ml.transformer import CrossEncoder
+    ce = CrossEncoder(dim=64, max_len=32, seed=0, use_flash=False)
+    docs = [f"word{i} alpha beta gamma {i}" for i in range(21)]
+    one = ce("alpha query", docs, batch=0)          # single shot
+    sub = ce("alpha query", docs, batch=8)          # 3 sub-batches + pad
+    np.testing.assert_allclose(one, sub, rtol=1e-5, atol=1e-6)
+
+
 # ---- RAG ----
 
 def test_chunk_text():
