@@ -507,9 +507,14 @@ class GPT2LM:
             raise ValueError(f"kv_dtype must be None/'auto'/'int8', "
                              f"got {kv_dtype!r}")
         # int8 KV cache: opt-in serving mode (per-token quantization of
-        # the dominant HBM stream); None/'auto' keeps bf16 (serving
-        # dtypes) or f32 (research path) via _cache_dtype.
+        # the dominant HBM stream); None keeps bf16 (serving dtypes) or
+        # f32 (research path) via _cache_dtype. "auto" picks per call:
+        # the r5 same-slot A/B measured int8 KV 1.32x at B=128 but a
+        # LOSS below B~64 (the per-step whole-cache dequant turns the
+        # attention loop VPU-bound — IMPLEMENTATION_NOTES r5 finding 1),
+        # so auto routes batches >= 64 to int8 and smaller ones to bf16.
         self.kv_int8 = kv_dtype == "int8"
+        self.kv_auto = kv_dtype == "auto"
         if dtype == "int8":
             # W8A8 serving mode: matmul weights quantized per output
             # channel (quantize_gpt_params); embeddings/biases/ln stay
@@ -555,6 +560,13 @@ class GPT2LM:
                                  max_len=max_len)
         return cls(params, tok, heads=heads)
 
+    def _kv_for_batch(self, batch: int) -> bool:
+        """KV-cache mode for one call: int8 when pinned, and under
+        "auto" only at batch >= 64 — the measured crossover where KV
+        reads dominate enough that the cache's bandwidth saving beats
+        its dequant compute (BASELINE.md GPT row, r5 A/B)."""
+        return self.kv_int8 or (self.kv_auto and batch >= 64)
+
     def complete(self, prompt: str, *, max_tokens: int = 64,
                  temperature: float = 0.0, top_k: int = 0,
                  top_p: float = 1.0, seed: int = 0) -> str:
@@ -588,7 +600,7 @@ class GPT2LM:
             max_new=max_tokens, cache_len=cache_len,
             temperature=temperature, top_k=top_k, top_p=top_p,
             eos_id=-1 if self.eos_id is None else int(self.eos_id),
-            kv_int8=self.kv_int8)
+            kv_int8=self._kv_for_batch(B))
         toks = np.asarray(toks)
         n_valid = np.asarray(n_valid)
         return [self.tok.decode(toks[b, :n_valid[b]]) for b in range(B)]

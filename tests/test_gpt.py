@@ -277,6 +277,30 @@ def test_gpt2lm_complete_roundtrip():
     assert len(two) == 2 and all(isinstance(t, str) for t in two)
 
 
+def test_kv_auto_routes_by_batch_size():
+    """kv_dtype="auto" encodes the measured serving crossover: int8 KV
+    wins only once per-step KV reads dominate (B >= 64 — r5 A/B,
+    IMPLEMENTATION_NOTES finding 1); below that the dequant compute
+    makes it a loss, so auto keeps bf16."""
+    lm = GPT2LM.random_init(hidden=32, layers=1, heads=2, max_len=128,
+                            seed=0)
+    lm.kv_auto, lm.kv_int8 = True, False
+    assert not lm._kv_for_batch(8)
+    assert not lm._kv_for_batch(63)
+    assert lm._kv_for_batch(64)
+    assert lm._kv_for_batch(128)
+    lm.kv_auto, lm.kv_int8 = False, True          # pinned int8: always
+    assert lm._kv_for_batch(1)
+    lm.kv_auto = lm.kv_int8 = False               # default: never
+    assert not lm._kv_for_batch(1024)
+    # auto at small B decodes identically to the default bf16 path
+    auto = GPT2LM.random_init(hidden=32, layers=1, heads=2, max_len=128,
+                              seed=0)
+    auto.kv_auto = True
+    assert (auto.complete("ab", max_tokens=4, temperature=0.0)
+            == lm.complete("ab", max_tokens=4, temperature=0.0))
+
+
 def test_local_provider_generative_path(monkeypatch, tmp_path):
     """LocalProvider.complete routes through GPT2LM when weights are
     configured (the huggingface-local provider path), and stays
