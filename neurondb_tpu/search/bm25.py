@@ -411,6 +411,10 @@ class BM25Index:
     heavy_mb = 512
     heavy_rows_cap = 512
     heavy_bf16_from = 500_000
+    #: per-[B, n_docs]-operand HBM budget for batch scoring; the batch
+    #: is split so b * n_docs * dtype_bytes stays under it (~3 such
+    #: operands are live at once in the tiled assembly)
+    score_budget_bytes = 2 << 30
     #: posting-count cut below which a light term routes to the narrow
     #: (seg_tiny-wide) scatter scan instead of the seg-wide one
     seg_tiny = 256
@@ -614,6 +618,23 @@ class BM25Index:
                 import jax.numpy as jnp
                 return jnp.asarray(out)
             return out
+        # Sub-batch so no single [b, n_docs] operand exceeds ~2 GB: the
+        # tiled path holds ~3 such operands live at once (scan-output
+        # assembly, its transpose, the heavy-GEMM sum), and at 4M docs a
+        # 512-query batch (3 x 4.1 GB bf16) exhausted the 16 GB chip.
+        # 2 GB keeps the measured 1M-doc B=512 configuration unchanged.
+        row_bytes = self.n_docs * (2 if self.n_docs >=
+                                   self.heavy_bf16_from else 4)
+        b_cap = self.score_budget_bytes // max(row_bytes, 1)
+        b_cap = max(4, 1 << max(b_cap.bit_length() - 1, 0))
+        if len(queries) > b_cap:
+            import jax.numpy as jnp
+            parts = [self.scores_batch(queries[s: s + b_cap],
+                                       device=True,
+                                       return_device=return_device)
+                     for s in range(0, len(queries), b_cap)]
+            return (jnp.concatenate(parts) if return_device
+                    else np.concatenate(parts))
         if self._scorer_mode() == "tiled":
             return self._scores_batch_tiled(queries, return_device)
         import jax.numpy as jnp

@@ -236,6 +236,36 @@ def test_bm25_scores_batch_matches_host_oracle():
     np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
 
 
+def test_bm25_scores_batch_hbm_budget_subbatches():
+    """The batch scorer splits queries so no [b, n_docs] operand
+    exceeds score_budget_bytes (a 512-query batch at 4M docs OOMed the
+    16 GB chip — ~3 such operands are live in the tiled assembly).
+    Shrinking the budget must change only the dispatch shape, never the
+    scores, on both scorer modes and both output residencies."""
+    from neurondb_tpu.search.bm25 import BM25Index
+    from neurondb_tpu.config import configure
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(150)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(5, 20)))
+            for _ in range(2500)]
+    bm = BM25Index(docs, use_native=False)
+    queries = [" ".join(rng.choice(vocab, 3)) for _ in range(23)]
+    whole = bm.scores_batch(queries, device=True)
+    bm.score_budget_bytes = 2500 * 4 * 8      # caps sub-batches at 8
+    try:
+        for mode in ("tiled", "scatter"):
+            configure(bm25_scorer=mode)
+            sub = bm.scores_batch(queries, device=True)
+            np.testing.assert_allclose(sub, whole, rtol=1e-5, atol=1e-5)
+            on_dev = bm.scores_batch(queries, device=True,
+                                     return_device=True)
+            assert on_dev.shape == (23, 2500)
+            np.testing.assert_allclose(np.asarray(on_dev), whole,
+                                       rtol=1e-5, atol=1e-5)
+    finally:
+        configure(bm25_scorer="tiled")
+
+
 def test_bm25_bf16_heavy_tier():
     """At-scale heavy tier (bf16 [H, n_docs] rows, VERDICT r3 item 5):
     2x heavy terms under the same byte budget, scores within bf16
