@@ -55,21 +55,28 @@ def main():
     import json
     for mode in ("tiled", "scatter", "tiled", "scatter"):
         configure(bm25_scorer=mode)
-        o = bm.scores_batch(texts, device=True, return_device=True)
-        np.asarray(o[:1, :1])
-        t0 = time.time()
-        o = bm.scores_batch(texts, device=True, return_device=True)
-        np.asarray(o[:1, :1])
-        ms = (time.time() - t0) * 1e3
-        a = np.asarray(bm.scores_batch(texts[:8], device=True),
-                       np.float32)
-        rel = float((np.abs(a - host)
-                     / np.maximum(np.abs(host), 1.0)).max())
-        out.setdefault(mode, []).append(
-            {"ms_per_batch": round(ms, 1),
-             "qps": round(B / ms * 1e3, 1),
-             "max_rel_err_vs_oracle": round(rel, 5)})
-        print(mode, out[mode][-1], flush=True)
+        try:
+            o = bm.scores_batch(texts, device=True, return_device=True)
+            np.asarray(o[:1, :1])
+            t0 = time.time()
+            o = bm.scores_batch(texts, device=True, return_device=True)
+            np.asarray(o[:1, :1])
+            ms = (time.time() - t0) * 1e3
+            a = np.asarray(bm.scores_batch(texts[:8], device=True),
+                           np.float32)
+            rel = float((np.abs(a - host)
+                         / np.maximum(np.abs(host), 1.0)).max())
+            out.setdefault(mode, []).append(
+                {"ms_per_batch": round(ms, 1),
+                 "qps": round(B / ms * 1e3, 1),
+                 "max_rel_err_vs_oracle": round(rel, 5)})
+            print(mode, out[mode][-1], flush=True)
+        except Exception as e:  # noqa: BLE001 — e.g. the legacy
+            # scatter mode exhausts HBM at 4M docs (its f32 operands
+            # and per-op full-buffer rewrites); one arm failing must
+            # not lose the other arm's measurements
+            out.setdefault(mode, []).append({"error": str(e)[:160]})
+            print(mode, "FAILED:", str(e)[:160], flush=True)
     configure(bm25_scorer="tiled")
     print(json.dumps({"n_docs": nd, "modes": out}))
 
